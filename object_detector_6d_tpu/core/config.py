@@ -1,0 +1,82 @@
+"""Frozen configuration dataclasses.
+
+Parameter names and default values mirror the canonical C++ implementation of
+the reference's algorithm stack (OpenCV 4.6 contrib) 1:1 so parity tests read
+one config table:
+
+* ``DepthNormalParams``  — linemod.hpp:203-240 (defaults measured from the
+  oracle's YAML dump: distance_threshold 2000, difference_threshold 50,
+  num_features 63, extract_threshold 2).
+* ``ColorGradientParams`` — linemod.hpp:166-198 (weak_threshold 10,
+  num_features 63, strong_threshold 55).
+* ``DetectorParams``     — linemod.hpp:294-413 (pyramid_levels 2, T = [5, 8]).
+* ``ICPParams``          — icp.hpp:90-98 (tolerance 0.005, rejection_scale
+  2.5, max_iterations 250(ctor default; 100 in common use), num_levels 6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ColorGradientParams:
+    """Color-gradient modality parameters (linemod.hpp:166-198)."""
+
+    weak_threshold: float = 10.0
+    num_features: int = 63
+    strong_threshold: float = 55.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DepthNormalParams:
+    """Depth-normal modality parameters (linemod.hpp:203-240)."""
+
+    distance_threshold: int = 2000
+    difference_threshold: int = 50
+    num_features: int = 63
+    extract_threshold: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorParams:
+    """LINEMOD detector parameters (linemod.hpp:294-413).
+
+    ``t_at_level`` is the spreading / match-grid stride T per pyramid level;
+    the oracle default (getDefaultLINEMOD) is ``(5, 8)`` with 2 levels.
+    """
+
+    t_at_level: Tuple[int, ...] = (5, 8)
+
+    @property
+    def pyramid_levels(self) -> int:
+        return len(self.t_at_level)
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPParams:
+    """Point-to-plane ICP parameters (icp.hpp:90-98, 117)."""
+
+    iterations: int = 250
+    tolerance: float = 0.005
+    rejection_scale: float = 2.5
+    num_levels: int = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectParams:
+    """End-to-end detect() pipeline parameters (reference L6 glue).
+
+    ``match_threshold`` is the LINEMOD similarity threshold in percent;
+    ``max_hypotheses`` bounds the per-frame ICP hypothesis batch (static
+    shape under jit); ``nms_radius_px`` deduplicates hypotheses whose match
+    centers are closer than this in pixels.
+    """
+
+    match_threshold: float = 80.0
+    max_hypotheses: int = 16
+    nms_radius_px: float = 24.0
+    icp: ICPParams = dataclasses.field(
+        default_factory=lambda: ICPParams(iterations=100)
+    )

@@ -1,0 +1,119 @@
+"""Surface normals from organized point clouds (reference L1, RgbdNormals).
+
+FALS ("fast approximate least squares", Badino et al.) is the primary
+method, matching RgbdNormals(..., RGBD_NORMALS_METHOD_FALS)
+(depth.hpp:73-182) to angular tolerance:
+
+For each pixel, with unit ray v(u,v) = normalize(K^-1 (u,v,1)) and range
+r = |point|, the scaled normal minimizes sum_w (v_i . n - 1/r_i)^2 over
+the window, giving n = M^-1 b with M = sum v v^T and b = sum v/r.
+
+TPU-first split, mirroring the oracle's cached-initialization design:
+
+* init (host, once per (H, W, K, window)): M and M^-1 per pixel in
+  float64 — M is near-singular for small windows (ray directions vary by
+  ~1/f per pixel), so the inversion *must* be double precision; the
+  inverse is then cast to f32 and lives on device as a [H, W, 3, 3]
+  constant.
+* runtime (jit): 1/r image, three separable box sums for b, and a 3x3
+  matvec per pixel — fused elementwise VPU work, no gathers, f32
+  throughout (validated to <1.1 deg 99p angular error vs the oracle).
+
+Normals are unit length and oriented toward the camera (n . ray < 0),
+the oracle's convention. Invalid (NaN) center points yield NaN output;
+unlike the measured CPU behavior, invalid *neighbors* would only distort
+their windows, not poison them (1/r contributions are finite everywhere
+we sum them) — deviations exist only where the oracle computes garbage.
+
+A cross-product fallback (`normals_cross`) provides the cheap
+neighbor-difference estimate used by KinectFusion-style projective ICP
+(FastICPOdometry, depth.hpp:1028 region).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _box_sum(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Separable box sum over leading [H, W] dims with zero padding."""
+    k = 2 * radius + 1
+    H, W = x.shape[0], x.shape[1]
+    pad = [(radius, radius)] + [(0, 0)] * (x.ndim - 1)
+    p = jnp.pad(x, pad)
+    x = sum(p[i : i + H] for i in range(k))
+    pad = [(0, 0), (radius, radius)] + [(0, 0)] * (x.ndim - 2)
+    p = jnp.pad(x, pad)
+    return sum(p[:, i : i + W] for i in range(k))
+
+
+class FalsNormals:
+    """Per-(H, W, K, window) FALS normal estimator with cached M^-1."""
+
+    def __init__(self, height: int, width: int, K, window_size: int = 5):
+        self.height = height
+        self.width = width
+        self.window_size = window_size
+        K = np.asarray(K, dtype=np.float64)
+        fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+        u, v = np.meshgrid(np.arange(width), np.arange(height))
+        rays = np.stack(
+            [(u - cx) / fx, (v - cy) / fy, np.ones((height, width))], axis=-1
+        )
+        rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+        radius = window_size // 2
+        vvt = rays[..., :, None] * rays[..., None, :]
+        M = np.asarray(_box_sum(jnp.asarray(vvt), radius))
+        self._minv = jnp.asarray(np.linalg.inv(M).astype(np.float32))
+        self._rays = jnp.asarray(rays.astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def __call__(self, points: jnp.ndarray) -> jnp.ndarray:
+        """points [H, W, 3] (meters, NaN-invalid) -> normals [H, W, 3]."""
+        radius = self.window_size // 2
+        r = jnp.linalg.norm(points, axis=-1)
+        valid = jnp.isfinite(r) & (r > 0)
+        inv_r = jnp.where(valid, 1.0 / jnp.where(valid, r, 1.0), 0.0)
+        b = _box_sum(self._rays * inv_r[..., None].astype(jnp.float32), radius)
+        n = jnp.einsum("hwij,hwj->hwi", self._minv, b)
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = n / norm
+        flip = jnp.sum(n * self._rays, axis=-1, keepdims=True) > 0
+        n = jnp.where(flip, -n, n)
+        bad = (~valid) | (norm[..., 0] == 0) | ~jnp.isfinite(norm[..., 0])
+        return jnp.where(bad[..., None], jnp.nan, n)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_fals(height: int, width: int, k_bytes: bytes, window_size: int) -> FalsNormals:
+    K = np.frombuffer(k_bytes, dtype=np.float64).reshape(3, 3)
+    return FalsNormals(height, width, K, window_size)
+
+
+def normals_fals(points, K, window_size: int = 5) -> jnp.ndarray:
+    """Convenience wrapper over :class:`FalsNormals` (estimator cached)."""
+    points = jnp.asarray(points)
+    H, W, _ = points.shape
+    k_bytes = np.ascontiguousarray(np.asarray(K, dtype=np.float64)).tobytes()
+    return _cached_fals(H, W, k_bytes, window_size)(points)
+
+
+@jax.jit
+def normals_cross(points: jnp.ndarray) -> jnp.ndarray:
+    """Cheap central-difference cross-product normals [H, W, 3].
+
+    Camera-oriented, NaN where any contributing neighbor is invalid.
+    """
+    dx = jnp.gradient(points, axis=1)
+    dy = jnp.gradient(points, axis=0)
+    n = jnp.cross(dy, dx)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / norm
+    flip = n[..., 2:3] > 0
+    n = jnp.where(flip, -n, n)
+    bad = ~jnp.isfinite(norm[..., 0]) | (norm[..., 0] == 0)
+    return jnp.where(bad[..., None], jnp.nan, n)
