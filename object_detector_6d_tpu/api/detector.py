@@ -140,7 +140,9 @@ class Detector:
         lst = self.class_templates.setdefault(class_id, [])
         lst.append(tp)
         self._kernel_cache = {
-            k: v for k, v in self._kernel_cache.items() if k[0] != class_id
+            k: v
+            for k, v in self._kernel_cache.items()
+            if k[0] not in (class_id, "bank")
         }
         return len(lst) - 1
 
@@ -165,6 +167,96 @@ class Detector:
         return self._kernel_cache[key]
 
     def match(
+        self,
+        sources: Sequence[np.ndarray],
+        threshold: float,
+        class_ids: Optional[Sequence[str]] = None,
+        fused: bool = True,
+        max_candidates: int = 64,
+    ) -> List[Match]:
+        """Match all templates against the frame (linemod.hpp:330).
+
+        ``fused=True`` (default) runs the whole hot path as one jitted
+        XLA program (match/program.py) — same results, one device
+        round-trip. Falls back to the host-orchestrated path when the
+        coarse candidate count exceeds ``max_candidates`` (very low
+        thresholds) or for non-2-level pyramids.
+        """
+        if fused and self.pyramid_levels == 2:
+            result = self._match_fused(sources, threshold, class_ids, max_candidates)
+            if result is not None:
+                return result
+        return self._match_reference(sources, threshold, class_ids)
+
+    def _match_fused(self, sources, threshold, class_ids, max_candidates):
+        from object_detector_6d_tpu.match import program as mp
+
+        key = tuple(sorted(class_ids)) if class_ids else None
+        bank_key = ("bank", key)
+        bank = self._kernel_cache.get(bank_key)
+        if bank is None:
+            selected = {
+                cid: tps
+                for cid, tps in self.class_templates.items()
+                if (key is None or cid in class_ids) and tps
+            }
+            if not selected:
+                return []
+            bank = mp.pack_bank(
+                selected, len(self.modality_names), 2, t0=self.t_at_level[0]
+            )
+            self._kernel_cache[bank_key] = bank
+        shape = np.asarray(sources[0]).shape[:2]
+        # quantize max_dr so program shapes don't churn as banks grow
+        max_dr = ((bank.max_dr // 16) + 1) * 16
+        prog_key = ("prog", shape, max_candidates, max_dr)
+        prog = self._kernel_cache.get(prog_key)
+        if prog is None:
+            prog = mp.make_match_program(
+                self.modality_names,
+                self.t_at_level,
+                shape,
+                self.dn_params,
+                self.cg_params,
+                max_candidates,
+                max_dr,
+            )
+            self._kernel_cache[prog_key] = prog
+        srcs = [jnp.asarray(s) for s in sources]
+        packed = np.asarray(
+            prog(
+                srcs,
+                bank.kernels_low,
+                bank.kernels_dec,
+                jnp.asarray(bank.nfeat[0]),
+                jnp.asarray(bank.nfeat[1]),
+                jnp.asarray(bank.sizes[0]),
+                jnp.asarray(bank.sizes[1]),
+                jnp.float32(threshold),
+            )
+        )
+        n_above = int(packed[0, -1])
+        if n_above > max_candidates:
+            return None  # overflow: caller falls back to reference path
+        xs = packed[0, :-1].astype(np.int32)
+        ys = packed[1, :-1].astype(np.int32)
+        score = packed[2, :-1]
+        tids = packed[3, :-1].astype(np.int32)
+        keep = packed[4, :-1] > 0
+        matches = [
+            Match(
+                int(xs[i]),
+                int(ys[i]),
+                float(score[i]),
+                bank.class_ids[tids[i]],
+                int(bank.local_tids[tids[i]]),
+            )
+            for i in range(len(keep))
+            if keep[i]
+        ]
+        return self._sort_dedup(matches)
+
+    def _match_reference(
         self,
         sources: Sequence[np.ndarray],
         threshold: float,
@@ -194,6 +286,10 @@ class Detector:
                     self._match_class(cid, responses, sizes, threshold)
                 )
 
+        return self._sort_dedup(matches)
+
+    @staticmethod
+    def _sort_dedup(matches: List[Match]) -> List[Match]:
         matches.sort(key=Match.sort_key)
         # unique: drop consecutive duplicates (same x, y, similarity, class)
         out: List[Match] = []

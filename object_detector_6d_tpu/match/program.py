@@ -1,0 +1,322 @@
+"""Fused per-frame match program: one jitted XLA program per frame.
+
+The host-orchestrated path in api/detector.py makes ~20 small device
+calls per frame; through a remote PJRT tunnel each round-trip costs more
+than the math. This module fuses the entire hot path into a single jit:
+
+    raw frames -> quantize (both modalities, both levels) -> spread ->
+    response maps -> coarse MXU conv sweep over the global template bank
+    -> device-side top-K candidate selection -> vmapped 16x16 local
+    refinement -> fixed-size candidate arrays
+
+Only the final [K]-sized arrays leave the device. Semantics are
+identical to api/detector.py (same oracle-parity rules); the only
+difference is the static candidate capacity ``max_candidates`` — the
+program also returns the total number of above-threshold coarse
+candidates so callers can detect overflow (parity guaranteed when
+count <= K, which holds for realistic thresholds).
+
+The template bank is packed once (all classes concatenated) and lives on
+device; adding templates invalidates the pack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detector_6d_tpu.quant.color_gradient import quantized_orientations
+from object_detector_6d_tpu.quant.depth_normal import quantized_normals
+from object_detector_6d_tpu.quant.pyramid import pyr_down_u8
+from object_detector_6d_tpu.match.response import response_maps, spread
+
+
+@dataclasses.dataclass
+class PackedBank:
+    """Global template bank packed for the fused program (2 levels)."""
+
+    class_ids: List[str]  # per global template id
+    local_tids: np.ndarray  # [nT] local id within class
+    # coarse level (lowest): per modality kernels [nT, 8, kh, kw] f32
+    kernels_low: List[jnp.ndarray]
+    # refinement level 0: per modality one-hot kernels over the decimated
+    # T0 grid, [nT, 8*T0^2, max_dr+1, max_dr+1] bf16
+    kernels_dec: List[jnp.ndarray]
+    max_dr: int  # max feature cell offset at level 0
+    nfeat: List[np.ndarray]  # per level: [nT] total features (all mods)
+    sizes: List[np.ndarray]  # per level: [nT, 2] (w, h)
+
+    @property
+    def num_templates(self) -> int:
+        return len(self.class_ids)
+
+
+def pack_bank(
+    class_templates: Dict[str, list], num_mod: int, levels: int, t0: int = 5
+) -> PackedBank:
+    """Concatenate every class's template pyramids into one bank."""
+    class_ids: List[str] = []
+    local_tids: List[int] = []
+    all_tps = []
+    for cid, tps in class_templates.items():
+        for i, tp in enumerate(tps):
+            class_ids.append(cid)
+            local_tids.append(i)
+            all_tps.append(tp)
+    nT = len(all_tps)
+    nfeat: List[np.ndarray] = []
+    sizes: List[np.ndarray] = []
+    for lvl in range(levels):
+        nf = np.zeros(nT, np.int32)
+        sz = np.zeros((nT, 2), np.int32)
+        for mod in range(num_mod):
+            for i, t in enumerate((tp[lvl * num_mod + mod] for tp in all_tps)):
+                sz[i] = (t.width, t.height)
+                nf[i] += len(t.features)
+        nfeat.append(nf)
+        sizes.append(sz)
+
+    # coarse (lowest level) dense one-hot conv kernels
+    lowest = levels - 1
+    kernels_low: List[jnp.ndarray] = []
+    for mod in range(num_mod):
+        tmpls = [tp[lowest * num_mod + mod] for tp in all_tps]
+        kh = max((t.height for t in tmpls), default=0) + 1
+        kw = max((t.width for t in tmpls), default=0) + 1
+        K = np.zeros((nT, 8, kh, kw), np.float32)
+        for i, t in enumerate(tmpls):
+            for f in t.features:
+                K[i, f.label, f.y, f.x] += 1.0
+        kernels_low.append(jnp.asarray(K))
+
+    # level-0 one-hot kernels over the decimated T0 grid: channel =
+    # label*T0^2 + (fy%T0)*T0 + fx%T0, spatial offset (fy//T0, fx//T0).
+    max_dr = 0
+    for mod in range(num_mod):
+        for tp in all_tps:
+            for f in tp[mod].features:
+                max_dr = max(max_dr, f.y // t0, f.x // t0)
+    kernels_dec: List[jnp.ndarray] = []
+    for mod in range(num_mod):
+        K2 = np.zeros((nT, 8 * t0 * t0, max_dr + 1, max_dr + 1), np.float32)
+        for i, tp in enumerate(all_tps):
+            for f in tp[mod].features:
+                plane = f.label * t0 * t0 + (f.y % t0) * t0 + (f.x % t0)
+                K2[i, plane, f.y // t0, f.x // t0] += 1.0
+        kernels_dec.append(jnp.asarray(K2, dtype=jnp.bfloat16))
+
+    return PackedBank(
+        class_ids,
+        np.array(local_tids, np.int32),
+        kernels_low,
+        kernels_dec,
+        max_dr,
+        nfeat,
+        sizes,
+    )
+
+
+def _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params):
+    """Quantized images [level][modality], all inside the trace."""
+    qs = [[] for _ in range(levels)]
+    for name, src in zip(modality_names, sources):
+        if name == "ColorGradient":
+            img = src
+            for lvl in range(levels):
+                q, _ = quantized_orientations(img, weak_threshold=cg_params.weak_threshold)
+                qs[lvl].append(q)
+                if lvl + 1 < levels:
+                    img = pyr_down_u8(img)
+        elif name == "DepthNormal":
+            q = quantized_normals(
+                src,
+                distance_threshold=dn_params.distance_threshold,
+                difference_threshold=dn_params.difference_threshold,
+            )
+            for lvl in range(levels):
+                qs[lvl].append(q)
+                if lvl + 1 < levels:
+                    q = q[::2, ::2]
+        else:
+            raise ValueError(name)
+    return qs
+
+
+def make_match_program(
+    modality_names: Sequence[str],
+    t_at_level: Sequence[int],
+    frame_shape: Tuple[int, int],
+    dn_params,
+    cg_params,
+    max_candidates: int = 64,
+    max_dr: int = 64,
+):
+    """Build the fused per-frame matcher.
+
+    Returns a jitted function
+        run(sources, kernels_low, feat arrays, nfeat/sizes, threshold)
+        -> (xs, ys, score_pct, tids, valid, n_above), all [K]-shaped.
+    Specialized to the static frame shape / pyramid config; ``max_dr`` is
+    the bank's largest level-0 feature cell offset (pads the decimated
+    response grid).
+    """
+    levels = len(t_at_level)
+    assert levels == 2, "fused program currently supports 2-level pyramids"
+    num_mod = len(modality_names)
+    H0, W0 = frame_shape
+    H1, W1 = H0 // 2, W0 // 2
+    t0, t1 = t_at_level
+    gh, gw = H1 // t1, W1 // t1
+    off0 = t0 // 2 + (t0 % 2 - 1)
+    off1 = t1 // 2 + (t1 % 2 - 1)
+    K_cap = max_candidates
+    # decimated level-0 grid
+    Hd, Wd = -(-H0 // t0), -(-W0 // t0)
+    pad_cells = 16 + max_dr + 1
+    Wp = Wd + pad_cells
+    Hp = Hd + pad_cells
+
+    @jax.jit
+    def run(
+        sources,
+        kernels_low,
+        kernels_dec,
+        nfeat_l0,
+        nfeat_l1,
+        sizes_l0,
+        sizes_l1,
+        threshold,
+    ):
+        qs = _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params)
+
+        R0 = [response_maps(spread(q, t0)) for q in qs[0]]
+        R1 = [response_maps(spread(q, t1)) for q in qs[1]]
+
+        # --- coarse sweep (level 1) over the whole bank, MXU conv ---
+        raw = None
+        for mod in range(num_mod):
+            k = kernels_low[mod]
+            kh, kw = k.shape[2], k.shape[3]
+            need_h = (gh - 1) * t1 + kh
+            need_w = (gw - 1) * t1 + kw
+            R = R1[mod].astype(jnp.bfloat16)[None]
+            R = jnp.pad(
+                R,
+                ((0, 0), (0, 0), (0, max(0, need_h - H1)), (0, max(0, need_w - W1))),
+            )
+            s = jax.lax.conv_general_dilated(
+                R,
+                k.astype(jnp.bfloat16),
+                window_strides=(t1, t1),
+                padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+            )[0].astype(jnp.int32)
+            raw = s if raw is None else raw + s
+
+        nT = raw.shape[0]
+        # per-template valid span at level 1 (oracle similarity() bounds)
+        wf = (sizes_l1[:, 0] - 1) // t1 + 1
+        hf = (sizes_l1[:, 1] - 1) // t1 + 1
+        span_x = (W1 // t1) - wf  # inclusive
+        span_y = (H1 // t1) - hf
+        rgrid = jax.lax.broadcasted_iota(jnp.int32, (nT, gh, gw), 1)
+        cgrid = jax.lax.broadcasted_iota(jnp.int32, (nT, gh, gw), 2)
+        in_span = (rgrid <= span_y[:, None, None]) & (cgrid <= span_x[:, None, None])
+        raw = jnp.where(in_span, raw, 0)
+        # raw threshold: int(2nf + thr/100*2nf + 0.5), f32 exact
+        nf2 = (2 * nfeat_l1).astype(jnp.float32)
+        raw_thr = (
+            nf2
+            + threshold.astype(jnp.float32) / jnp.float32(100.0) * nf2
+            + jnp.float32(0.5)
+        ).astype(jnp.int32)
+
+        above = raw > raw_thr[:, None, None]
+        n_above = jnp.sum(above.astype(jnp.int32))
+        flat_score = jnp.where(above, raw, -1).reshape(-1)
+        top_vals, top_idx = jax.lax.top_k(flat_score, K_cap)
+        valid = top_vals > -1
+        tids = top_idx // (gh * gw)
+        rc = top_idx % (gh * gw)
+        rr = rc // gw
+        cc = rc % gw
+
+        xs = cc * t1 + off1
+        ys = rr * t1 + off1
+
+        # --- refinement at level 0: decimated-grid gather, no conv ---
+        border = 8 * t0
+        tw = sizes_l0[tids, 0]
+        th = sizes_l0[tids, 1]
+        x2 = jnp.minimum(jnp.maximum(xs * 2 + 1, border), W0 - tw - border)
+        y2 = jnp.minimum(jnp.maximum(ys * 2 + 1, border), H0 - th - border)
+        base_r = y2 // t0 - 8  # anchor cell (>= 0 after border clamp)
+        base_c = x2 // t0 - 8
+
+        total16 = jnp.zeros((K_cap, 16, 16), jnp.float32)
+        for mod in range(num_mod):
+            # D[plane, cell_r, cell_c]: R0 sampled on the T0 grid
+            R = R0[mod].astype(jnp.bfloat16)
+            R = jnp.pad(R, ((0, 0), (0, Hd * t0 - H0), (0, Wd * t0 - W0)))
+            D = (
+                R.reshape(8, Hd, t0, Wd, t0)
+                .transpose(0, 2, 4, 1, 3)
+                .reshape(8 * t0 * t0, Hd, Wd)
+            )
+            D = jnp.pad(D, ((0, 0), (0, pad_cells), (0, pad_cells)))
+
+            # per-candidate kernels (gather of contiguous rows) and
+            # per-candidate decimated windows, contracted by one
+            # batch-grouped conv -> [K, 16, 16]
+            kc = kernels_dec[mod][tids]  # [K, P, kd, kd] bf16
+            kd = kc.shape[2]
+            win = 16 + kd - 1
+
+            def window(br, bc):
+                return jax.lax.dynamic_slice(D, (0, br, bc), (D.shape[0], win, win))
+
+            wins = jax.vmap(window)(base_r, base_c)  # [K, P, win, win]
+            s16 = jax.lax.conv_general_dilated(
+                wins,
+                kc,
+                window_strides=(1, 1),
+                padding="VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                batch_group_count=K_cap,
+                preferred_element_type=jnp.float32,
+            )[0]  # [K, 16, 16]
+            total16 = total16 + s16
+
+        nf0 = nfeat_l0[tids].astype(jnp.float32)
+        pct16 = total16 * jnp.float32(100.0) / (jnp.float32(4.0) * nf0[:, None, None])
+        best_flat = jnp.argmax(pct16.reshape(K_cap, -1), axis=1)
+        best_r = best_flat // 16
+        best_c = best_flat % 16
+        best = jnp.take_along_axis(
+            pct16.reshape(K_cap, -1), best_flat[:, None], axis=1
+        )[:, 0]
+        nx = (x2 // t0 - 8 + best_c) * t0 + off0
+        ny = (y2 // t0 - 8 + best_r) * t0 + off0
+        keep = valid & (best >= threshold.astype(jnp.float32))
+        # Pack everything into one f32 array: a single device->host
+        # transfer (each separate transfer costs a full tunnel roundtrip).
+        packed = jnp.stack(
+            [
+                nx.astype(jnp.float32),
+                ny.astype(jnp.float32),
+                best,
+                tids.astype(jnp.float32),
+                keep.astype(jnp.float32),
+            ],
+            axis=0,
+        )  # [5, K]
+        n_col = jnp.full((5, 1), n_above.astype(jnp.float32))
+        return jnp.concatenate([packed, n_col], axis=1)  # [5, K+1]
+
+    return run
