@@ -147,6 +147,56 @@ class Detector:
         return len(lst) - 1
 
     # ------------------------------------------------------------------
+    # persistence (linemod.hpp:391-393; oracle-compatible yml.gz)
+    # ------------------------------------------------------------------
+
+    def write_classes(self, path_format: str = "templates_%s.yml.gz",
+                      class_ids: Optional[Sequence[str]] = None) -> None:
+        from object_detector_6d_tpu.io import yaml_store
+
+        for cid in class_ids or self.class_ids():
+            yaml_store.write_class(
+                path_format % cid,
+                cid,
+                self.modality_names,
+                self.pyramid_levels,
+                self.class_templates.get(cid, []),
+            )
+
+    def read_classes(self, class_ids: Sequence[str],
+                     path_format: str = "templates_%s.yml.gz") -> None:
+        from object_detector_6d_tpu.io import yaml_store
+
+        for cid in class_ids:
+            path = path_format % cid
+            loader = yaml_store.load_npz if path.endswith(".npz") else yaml_store.read_class
+            read_cid, mods, levels, tps = loader(path)
+            if list(mods) != list(self.modality_names) or levels != self.pyramid_levels:
+                raise ValueError(
+                    f"store {path} was built for modalities={mods}, "
+                    f"levels={levels}; detector has {self.modality_names}, "
+                    f"{self.pyramid_levels}"
+                )
+            for tp in tps:
+                self._store(tp, read_cid)
+
+    def write(self, path: str) -> None:
+        """Detector parameter document (oracle Detector::write format)."""
+        from object_detector_6d_tpu.io import yaml_store
+
+        with open(path, "w") as f:
+            f.write(yaml_store.emit_yaml(yaml_store.detector_doc(self)))
+
+    @classmethod
+    def read(cls, path: str) -> "Detector":
+        from object_detector_6d_tpu.io import yaml_store
+
+        with open(path) as f:
+            doc = yaml_store.parse_yaml(f.read())
+        names, t_at_level, cg, dn = yaml_store.parse_detector_doc(doc)
+        return cls(names, t_at_level, cg, dn)
+
+    # ------------------------------------------------------------------
     # matching side
     # ------------------------------------------------------------------
 

@@ -38,7 +38,10 @@ def median5_onehot_u8(img: jnp.ndarray) -> jnp.ndarray:
     eq = (img[None, :, :] == codes[:, None, None]).astype(jnp.int32)
     counts = _box5_sum(eq)
     cum = jnp.cumsum(counts, axis=0)
-    # median = first code whose cumulative count reaches 13 (of 25)
+    # median = first code whose cumulative count reaches 13 (of 25);
+    # codes are 0 then powers of two, so codes[idx] is arithmetic
+    # (1 << (idx-1)) — no gather.
     reached = cum >= 13
-    idx = jnp.argmax(reached, axis=0)
-    return codes[idx]
+    idx = jnp.argmax(reached, axis=0).astype(jnp.int32)
+    val = jnp.where(idx == 0, 0, jnp.int32(1) << jnp.maximum(idx - 1, 0))
+    return val.astype(jnp.uint8)

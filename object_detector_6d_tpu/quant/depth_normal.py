@@ -93,12 +93,26 @@ def quantized_normals(
 
     vx = (nxn * jnp.float32(10.0) + jnp.float32(10.0)).astype(jnp.int32)
     vy = (nyn * jnp.float32(10.0) + jnp.float32(10.0)).astype(jnp.int32)
-    # Flat indexing mod 400 emulates the oracle cube's [vz][vy][vx] layout
-    # (all z-slices identical) including its benign off-by-one overreads at
-    # components == 1.0 exactly.
-    flat = jnp.mod(vy * 20 + vx, 400)
-    lut = jnp.asarray(NORMAL_LUT_2D).reshape(-1)
-    q = lut[flat]
+    # The oracle's NORMAL_LUT is exactly the 8-sector octant map
+    # bin = floor((atan2(vy-10, vx-10) + 22.5deg) / 45deg) mod 8
+    # (verified cell-for-cell against the compiled table, ops/lut.py) —
+    # computed arithmetically here: TPU gathers are far slower than a
+    # handful of compares. Integer cells never land exactly on the
+    # irrational tan(22.5deg) boundaries, so f32 compares are exact.
+    cx = (vx - 10).astype(jnp.float32)
+    cy = (vy - 10).astype(jnp.float32)
+    t = jnp.float32(0.41421356)  # tan(22.5 deg)
+    acx = jnp.abs(cx)
+    acy = jnp.abs(cy)
+    horiz = acy <= t * acx
+    vert = acx <= t * acy
+    bin_h = jnp.where(cx >= 0, 0, 4)
+    bin_v = jnp.where(cy >= 0, 2, 6)
+    bin_d = jnp.where(
+        cy >= 0, jnp.where(cx >= 0, 1, 3), jnp.where(cx >= 0, 7, 5)
+    )
+    bins = jnp.where(horiz, bin_h, jnp.where(vert, bin_v, bin_d))
+    q = (jnp.int32(1) << bins).astype(jnp.uint8)
 
     u, v = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
     interior = (

@@ -1,0 +1,144 @@
+"""Pose containers and pose clustering/NMS (reference N12: pose_3d.hpp).
+
+``Pose`` mirrors ppf_match_3d::Pose3D (pose_3d.hpp:70-131): an SE(3)
+pose kept as a 4x4 matrix with its quaternion dual form, plus the
+residual/votes bookkeeping the scoring stage uses. ``PoseCluster``
+mirrors PoseCluster3D (pose_3d.hpp:138-180). ``cluster_poses`` is the
+reference's pose clustering: greedy agglomeration of poses within
+rotation/translation thresholds, vote-sorted — used both by the PPF
+detector and as hypothesis NMS in the detect() pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from object_detector_6d_tpu.core.se3 import SE3
+
+
+@dataclasses.dataclass
+class Pose:
+    """SE(3) pose with detection metadata (pose_3d.hpp:70-131)."""
+
+    pose: np.ndarray  # [4, 4] model -> scene
+    residual: float = 0.0
+    num_votes: int = 0
+    model_index: int = 0
+    class_id: str = ""
+    template_id: int = -1
+    match_x: int = -1
+    match_y: int = -1
+    match_similarity: float = 0.0
+
+    @property
+    def q(self) -> np.ndarray:
+        """Unit quaternion (w, x, y, z) of the rotation part."""
+        return np.asarray(SE3.to_quat(self.pose.astype(np.float32)))
+
+    @property
+    def t(self) -> np.ndarray:
+        return self.pose[:3, 3]
+
+    def update_pose(self, new_pose: np.ndarray) -> None:
+        self.pose = np.asarray(new_pose)
+
+    def append_pose(self, incremental: np.ndarray) -> None:
+        """Left-compose an incremental transform (Pose3D::appendPose)."""
+        self.pose = np.asarray(incremental) @ self.pose
+
+    def write(self) -> dict:
+        return {
+            "pose": self.pose.tolist(),
+            "residual": float(self.residual),
+            "num_votes": int(self.num_votes),
+            "model_index": int(self.model_index),
+        }
+
+    @classmethod
+    def read(cls, d: dict) -> "Pose":
+        return cls(
+            pose=np.asarray(d["pose"], np.float64),
+            residual=float(d.get("residual", 0.0)),
+            num_votes=int(d.get("num_votes", 0)),
+            model_index=int(d.get("model_index", 0)),
+        )
+
+
+@dataclasses.dataclass
+class PoseCluster:
+    """Accumulated cluster of nearby poses (PoseCluster3D)."""
+
+    poses: List[Pose]
+    num_votes: int = 0
+    id: int = 0
+
+    def add_pose(self, p: Pose) -> None:
+        self.poses.append(p)
+        self.num_votes += p.num_votes
+
+    def mean_pose(self) -> Pose:
+        """Average the cluster (quaternion mean + translation mean)."""
+        qs = np.stack([p.q for p in self.poses])
+        # align hemispheres to the first quaternion before averaging
+        signs = np.sign(qs @ qs[0])
+        signs[signs == 0] = 1.0
+        q_mean = (qs * signs[:, None]).mean(0)
+        q_mean /= np.linalg.norm(q_mean)
+        t_mean = np.stack([p.t for p in self.poses]).mean(0)
+        T = np.asarray(SE3.from_quat(q_mean.astype(np.float32), t_mean.astype(np.float32)))
+        rep = self.poses[0]
+        return Pose(
+            pose=np.asarray(T, np.float64),
+            residual=float(np.mean([p.residual for p in self.poses])),
+            num_votes=self.num_votes,
+            model_index=rep.model_index,
+            class_id=rep.class_id,
+            template_id=rep.template_id,
+            match_x=rep.match_x,
+            match_y=rep.match_y,
+            match_similarity=max(p.match_similarity for p in self.poses),
+        )
+
+
+def rotation_angle_between(qa: np.ndarray, qb: np.ndarray) -> float:
+    """Geodesic rotation angle between two unit quaternions (radians)."""
+    dot = abs(float(np.dot(qa, qb)))
+    return 2.0 * float(np.arccos(min(1.0, dot)))
+
+
+def cluster_poses(
+    poses: Sequence[Pose],
+    rotation_threshold_rad: float = np.deg2rad(15.0),
+    translation_threshold: float = 0.02,
+    per_class: bool = True,
+) -> List[PoseCluster]:
+    """Greedy pose clustering (ppf_match_3d clusterPoses semantics).
+
+    Poses are sorted by votes (then inverse residual) and greedily merged
+    into the first cluster whose representative is within both
+    thresholds. Returns clusters sorted by total votes.
+    """
+    order = sorted(
+        poses, key=lambda p: (-p.num_votes, p.residual)
+    )
+    clusters: List[PoseCluster] = []
+    for p in order:
+        placed = False
+        for c in clusters:
+            rep = c.poses[0]
+            if per_class and rep.class_id != p.class_id:
+                continue
+            if (
+                rotation_angle_between(rep.q, p.q) <= rotation_threshold_rad
+                and np.linalg.norm(rep.t - p.t) <= translation_threshold
+            ):
+                c.add_pose(p)
+                placed = True
+                break
+        if not placed:
+            clusters.append(PoseCluster(poses=[p], num_votes=p.num_votes, id=len(clusters)))
+    clusters.sort(key=lambda c: -c.num_votes)
+    return clusters
