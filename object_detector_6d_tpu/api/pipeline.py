@@ -1,0 +1,269 @@
+"""End-to-end 6D detection pipeline (reference L6 glue).
+
+``PoseDetector`` composes the full reference pipeline (BASELINE.json
+north_star; SURVEY.md section 3.1):
+
+    detect(depth, K[, rgb]) ->
+      rescale -> backproject -> FALS normals          (geom, jit)
+      -> LINEMOD match over the template bank         (fused program)
+      -> hypothesis lift (template view pose + match x,y + scene depth
+         -> initial SE(3))
+      -> batched point-to-plane ICP over all hypotheses (one vmapped jit)
+      -> scoring + pose clustering NMS
+      -> [Pose]
+
+Training (``add_view``) registers a view: LINEMOD templates via
+Detector.add_template plus the view's masked object cloud (sampled to a
+fixed size) as the ICP model, and optionally the ground-truth view pose
+(model -> training camera). With view poses the returned detections are
+model -> scene-camera transforms; without, they map the training-view
+camera frame onto the scene.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from object_detector_6d_tpu.api.detector import Detector, Match
+from object_detector_6d_tpu.core.config import DetectParams, ICPParams
+from object_detector_6d_tpu.core.intrinsics import Intrinsics
+from object_detector_6d_tpu.core.se3 import SE3
+from object_detector_6d_tpu.geom.backproject import depth_to_3d
+from object_detector_6d_tpu.geom.normals import normals_fals
+from object_detector_6d_tpu.refine.icp import ICP
+from object_detector_6d_tpu.refine.pose import Pose, cluster_poses
+
+
+@dataclasses.dataclass
+class _ViewRecord:
+    """Per-template training-view metadata for hypothesis lifting."""
+
+    model_cloud: np.ndarray  # [N, 6] xyz+normal, training camera frame
+    bbox: Tuple[int, int, int, int]  # (x, y, w, h) at level 0
+    anchor_point: np.ndarray  # 3D point of the bbox center at model depth
+    view_pose: Optional[np.ndarray]  # model -> training camera, or None
+
+
+class PoseDetector:
+    """Template-based 6D object detector (mirrors the reference API)."""
+
+    def __init__(
+        self,
+        detector: Optional[Detector] = None,
+        params: Optional[DetectParams] = None,
+        model_points: int = 1024,
+        scene_window: int = 160,
+        scene_points_stride: int = 2,
+    ):
+        self.detector = detector or Detector()
+        self.params = params or DetectParams()
+        self.model_points = model_points
+        self.scene_window = scene_window
+        self.scene_stride = scene_points_stride
+        self.views: Dict[Tuple[str, int], _ViewRecord] = {}
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+
+    def add_view(
+        self,
+        class_id: str,
+        depth_u16: np.ndarray,
+        K: np.ndarray,
+        object_mask: np.ndarray,
+        rgb: Optional[np.ndarray] = None,
+        view_pose: Optional[np.ndarray] = None,
+    ) -> int:
+        """Register one training view; returns template id or -1."""
+        sources = self._sources(rgb, depth_u16)
+        tid, bbox = self.detector.add_template(sources, class_id, object_mask)
+        if tid < 0:
+            return -1
+        cloud = np.asarray(depth_to_3d(depth_u16, K))
+        normals = np.asarray(normals_fals(cloud, K))
+        mask = (np.asarray(object_mask) > 0) & np.isfinite(cloud).all(-1) & np.isfinite(normals).all(-1)
+        ys, xs = np.nonzero(mask)
+        if len(ys) == 0:
+            return -1
+        sel = np.linspace(0, len(ys) - 1, min(self.model_points, len(ys))).astype(int)
+        pts = cloud[ys[sel], xs[sel]]
+        nrm = normals[ys[sel], xs[sel]]
+        model = np.concatenate([pts, nrm], -1).astype(np.float32)
+        # pad to fixed size with NaN (ignored by masked ICP sampling)
+        if len(model) < self.model_points:
+            pad = np.full((self.model_points - len(model), 6), model[0], np.float32)
+            model = np.concatenate([model, pad], 0)
+        bx, by, bw, bh = bbox
+        z = float(np.nanmedian(pts[:, 2]))
+        intr = Intrinsics.from_matrix(np.asarray(K))
+        anchor = np.asarray(intr.reproject(bx + bw / 2.0, by + bh / 2.0, z))
+        self.views[(class_id, tid)] = _ViewRecord(
+            model, bbox, anchor.astype(np.float32),
+            None if view_pose is None else np.asarray(view_pose, np.float32),
+        )
+        return tid
+
+    def _sources(self, rgb, depth):
+        sources = []
+        for name in self.detector.modality_names:
+            if name == "ColorGradient":
+                if rgb is None:
+                    raise ValueError("detector has a ColorGradient modality; rgb required")
+                sources.append(rgb)
+            else:
+                sources.append(depth)
+        return sources
+
+    # ------------------------------------------------------------------
+    # detection
+    # ------------------------------------------------------------------
+
+    def detect(
+        self,
+        depth_u16: np.ndarray,
+        K: np.ndarray,
+        rgb: Optional[np.ndarray] = None,
+        class_ids: Optional[Sequence[str]] = None,
+        match_threshold: Optional[float] = None,
+    ) -> List[Pose]:
+        """Full pipeline: match -> lift -> batched ICP -> score -> NMS."""
+        p = self.params
+        threshold = p.match_threshold if match_threshold is None else match_threshold
+        sources = self._sources(rgb, depth_u16)
+        matches = self.detector.match(sources, threshold, class_ids)
+        matches = matches[: p.max_hypotheses]
+        if not matches:
+            return []
+
+        cloud = np.asarray(depth_to_3d(depth_u16, K))
+        normals = np.asarray(normals_fals(cloud, K))
+        scene6 = np.concatenate([cloud, normals], -1).astype(np.float32)
+        intr = Intrinsics.from_matrix(np.asarray(K))
+
+        # --- lift hypotheses ---
+        H, W = cloud.shape[:2]
+        hyps: List[Tuple[Match, _ViewRecord, np.ndarray]] = []
+        for m in matches:
+            rec = self.views.get((m.class_id, m.template_id))
+            if rec is None:
+                continue
+            bw, bh = rec.bbox[2], rec.bbox[3]
+            cx = m.x + bw / 2.0
+            cy = m.y + bh / 2.0
+            # depth at the matched region (median of valid pixels)
+            y0, y1 = max(0, m.y), min(H, m.y + bh + 1)
+            x0, x1 = max(0, m.x), min(W, m.x + bw + 1)
+            zwin = cloud[y0:y1, x0:x1, 2]
+            z = float(np.nanmedian(zwin)) if np.isfinite(zwin).any() else float("nan")
+            if not np.isfinite(z):
+                continue
+            target = np.asarray(intr.reproject(cx, cy, z))
+            t0 = target - rec.anchor_point
+            pose0 = np.eye(4, dtype=np.float32)
+            pose0[:3, 3] = t0
+            hyps.append((m, rec, pose0))
+        if not hyps:
+            return []
+
+        # --- batched ICP (model clouds stacked; same scene) ---
+        models = np.stack([h[1].model_cloud for h in hyps])
+        poses0 = np.stack([h[2] for h in hyps])
+        scene_sub = scene6[:: self.scene_stride, :: self.scene_stride].reshape(-1, 6)
+        icp = ICP.from_params(p.icp)
+        residuals, poses = _batched_icp(icp, models, scene_sub, poses0)
+
+        # --- score + NMS ---
+        out: List[Pose] = []
+        for i, (m, rec, _p0) in enumerate(hyps):
+            pose = poses[i]
+            if rec.view_pose is not None:
+                pose = pose @ rec.view_pose
+            out.append(
+                Pose(
+                    pose=np.asarray(pose, np.float64),
+                    residual=float(residuals[i]),
+                    num_votes=int(round(m.similarity * 100)),
+                    class_id=m.class_id,
+                    template_id=m.template_id,
+                    match_x=m.x,
+                    match_y=m.y,
+                    match_similarity=m.similarity,
+                )
+            )
+        clusters = cluster_poses(
+            out,
+            translation_threshold=p.nms_radius_px / float(intr.fx) * 1.0,
+        )
+        return [c.mean_pose() for c in clusters]
+
+
+def _batched_icp(icp: ICP, models: np.ndarray, scene: np.ndarray, poses0: np.ndarray):
+    """Run ICP per hypothesis with its own model cloud (vmapped inside)."""
+    # models share a fixed size; run each hypothesis against its model by
+    # treating (model, pose) pairs as the batch.
+    import jax
+
+    from object_detector_6d_tpu.refine.icp import _icp_run
+
+    residuals = []
+    out_poses = []
+    # group identical models to share NN structures where possible
+    B = models.shape[0]
+    res, ps = _icp_run_multi(
+        jnp.asarray(models), jnp.asarray(scene), jnp.asarray(poses0),
+        icp.iterations, jnp.float32(icp.tolerance),
+        jnp.float32(icp.rejection_scale), icp.num_levels,
+    )
+    return np.asarray(res), np.asarray(ps)
+
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "num_levels"))
+def _icp_run_multi(models, scene_pc, poses, iterations, tolerance, rejection_scale, num_levels):
+    """ICP where each hypothesis has its own model cloud [B, N, 6]."""
+    from object_detector_6d_tpu.refine.icp import _p2pl_step
+
+    scene_pts = scene_pc[:, :3]
+    scene_nrm = scene_pc[:, 3:6]
+    scene_valid = jnp.isfinite(scene_pts).all(-1) & jnp.isfinite(scene_nrm).all(-1)
+    scene_pts = jnp.nan_to_num(scene_pts)
+    scene_nrm = jnp.nan_to_num(scene_nrm)
+    N = models.shape[1]
+
+    def refine_one(model_pc, pose0):
+        pose = pose0
+        residual = jnp.float32(0.0)
+        for level in range(num_levels - 1, -1, -1):
+            stride = 1 << level
+            n_lvl = max(1, N // stride)
+            sample = model_pc[::stride][:n_lvl]
+            mask = jnp.isfinite(sample[:, :3]).all(-1)
+            sample = jnp.nan_to_num(sample)
+            iters = max(1, iterations // num_levels)
+
+            def body(carry):
+                i, pose, _res, _upd = carry
+                new_pose, upd, res = _p2pl_step(
+                    pose, sample, scene_pts, scene_nrm, scene_valid, mask, rejection_scale
+                )
+                return i + 1, new_pose, res, upd
+
+            def cond(carry):
+                i, _pose, _res, upd = carry
+                return (i < iters) & (upd >= tolerance)
+
+            _, pose, residual, _ = jax.lax.while_loop(
+                cond, body, (0, pose, residual, jnp.float32(1e9))
+            )
+        return residual, pose
+
+    return jax.vmap(refine_one)(models, poses)

@@ -85,13 +85,23 @@ def _p2pl_step(pose, model_pc, scene_pts, scene_nrm, scene_valid, sample_mask, r
     w = (sample_mask & (d_masked <= thr) & jnp.isfinite(d_masked)).astype(jnp.float32)
 
     r = jnp.sum((mp - q) * n, axis=-1)  # signed point-to-plane residual
-    J = jnp.concatenate([jnp.cross(mp, n), n], axis=-1)  # [N, 6]
+    # Rotation parametrized about the (weighted) model centroid: with the
+    # camera-frame origin ~1.3 m away, origin-centered rotations alias
+    # translations (ill-conditioned normal equations) and Gauss-Newton
+    # diverges; centering is also what the canonical icp.cpp does
+    # (mean-point subtraction before minimization).
+    wsum0 = jnp.maximum(jnp.sum(w), 1.0)
+    c = jnp.sum(mp * w[:, None], axis=0) / wsum0
+    J = jnp.concatenate([jnp.cross(mp - c, n), n], axis=-1)  # [N, 6]
     Jw = J * w[:, None]
     A = _mm(Jw.T, J)
     b = -_mm(Jw.T, r[:, None])[:, 0]
     x = _solve6(A, b)
     dT = SE3.exp(x)
-    new_pose = SE3.compose(dT, pose)
+    # conjugate by the centroid shift: rotate about c, not the origin
+    shift = SE3.from_rt(jnp.eye(3, dtype=pose.dtype), c)
+    unshift = SE3.from_rt(jnp.eye(3, dtype=pose.dtype), -c)
+    new_pose = SE3.compose(shift, SE3.compose(dT, SE3.compose(unshift, pose)))
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     residual = jnp.sum(jnp.abs(r) * w) / wsum
     return new_pose, jnp.linalg.norm(x), residual
