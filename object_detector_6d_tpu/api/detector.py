@@ -262,6 +262,9 @@ class Detector:
         prog_key = ("prog", shape, max_candidates, max_dr)
         prog = self._kernel_cache.get(prog_key)
         if prog is None:
+            import jax
+
+            refine_impl = "pallas" if jax.default_backend() == "tpu" else "conv"
             prog = mp.make_match_program(
                 self.modality_names,
                 self.t_at_level,
@@ -270,6 +273,7 @@ class Detector:
                 self.cg_params,
                 max_candidates,
                 max_dr,
+                refine_impl=refine_impl,
             )
             self._kernel_cache[prog_key] = prog
         srcs = [jnp.asarray(s) for s in sources]
@@ -278,6 +282,7 @@ class Detector:
                 srcs,
                 bank.kernels_low,
                 bank.kernels_dec,
+                (bank.feat_plane, bank.feat_dr, bank.feat_dc, bank.feat_n),
                 jnp.asarray(bank.nfeat[0]),
                 jnp.asarray(bank.nfeat[1]),
                 jnp.asarray(bank.sizes[0]),

@@ -45,8 +45,13 @@ class PackedBank:
     # coarse level (lowest): per modality kernels [nT, 8, kh, kw] f32
     kernels_low: List[jnp.ndarray]
     # refinement level 0: per modality one-hot kernels over the decimated
-    # T0 grid, [nT, 8*T0^2, max_dr+1, max_dr+1] bf16
+    # T0 grid, [nT, 8*T0^2, max_dr+1, max_dr+1] bf16 (conv path)
     kernels_dec: List[jnp.ndarray]
+    # ... and sparse per-feature arrays (pallas path): plane/dr/dc [nT, F]
+    feat_plane: List[jnp.ndarray]
+    feat_dr: List[jnp.ndarray]
+    feat_dc: List[jnp.ndarray]
+    feat_n: List[jnp.ndarray]  # [nT] feature counts per modality
     max_dr: int  # max feature cell offset at level 0
     nfeat: List[np.ndarray]  # per level: [nT] total features (all mods)
     sizes: List[np.ndarray]  # per level: [nT, 2] (w, h)
@@ -110,11 +115,34 @@ def pack_bank(
                 K2[i, plane, f.y // t0, f.x // t0] += 1.0
         kernels_dec.append(jnp.asarray(K2, dtype=jnp.bfloat16))
 
+    feat_plane, feat_dr, feat_dc, feat_n = [], [], [], []
+    for mod in range(num_mod):
+        tmpls = [tp[mod] for tp in all_tps]
+        F = max((len(t.features) for t in tmpls), default=1)
+        pla = np.zeros((nT, F), np.int32)
+        dra = np.zeros((nT, F), np.int32)
+        dca = np.zeros((nT, F), np.int32)
+        na = np.zeros((nT,), np.int32)
+        for i, t in enumerate(tmpls):
+            na[i] = len(t.features)
+            for j, f in enumerate(t.features):
+                pla[i, j] = f.label * t0 * t0 + (f.y % t0) * t0 + (f.x % t0)
+                dra[i, j] = f.y // t0
+                dca[i, j] = f.x // t0
+        feat_plane.append(jnp.asarray(pla))
+        feat_dr.append(jnp.asarray(dra))
+        feat_dc.append(jnp.asarray(dca))
+        feat_n.append(jnp.asarray(na))
+
     return PackedBank(
         class_ids,
         np.array(local_tids, np.int32),
         kernels_low,
         kernels_dec,
+        feat_plane,
+        feat_dr,
+        feat_dc,
+        feat_n,
         max_dr,
         nfeat,
         sizes,
@@ -155,8 +183,12 @@ def make_match_program(
     cg_params,
     max_candidates: int = 64,
     max_dr: int = 64,
+    refine_impl: str = "conv",
 ):
     """Build the fused per-frame matcher.
+
+    ``refine_impl``: 'conv' (XLA batch-grouped conv; works everywhere) or
+    'pallas' (VMEM-resident sparse sweep kernel; TPU only, ~3x faster).
 
     Returns a jitted function
         run(sources, kernels_low, feat arrays, nfeat/sizes, threshold)
@@ -186,6 +218,7 @@ def make_match_program(
         sources,
         kernels_low,
         kernels_dec,
+        feat_arrays,
         nfeat_l0,
         nfeat_l1,
         sizes_l0,
@@ -260,7 +293,32 @@ def make_match_program(
         base_c = x2 // t0 - 8
 
         total16 = jnp.zeros((K_cap, 16, 16), jnp.float32)
-        for mod in range(num_mod):
+        if refine_impl == "pallas":
+            from object_detector_6d_tpu.ops.refine_pallas import refine_sweep
+
+            def npow2(x):
+                return 1 << (x - 1).bit_length()
+
+            Hp2 = npow2(max(Hd + 17, 32))
+            Wp2 = npow2(max(Wd + 17, 128))
+            feat_plane, feat_dr, feat_dc, feat_n = feat_arrays
+            for mod in range(num_mod):
+                R = R0[mod].astype(jnp.int8)
+                R = jnp.pad(R, ((0, 0), (0, Hd * t0 - H0), (0, Wd * t0 - W0)))
+                D = (
+                    R.reshape(8, Hd, t0, Wd, t0)
+                    .transpose(0, 2, 4, 1, 3)
+                    .reshape(8 * t0 * t0, Hd, Wd)
+                )
+                D = jnp.pad(D, ((0, 0), (0, Hp2 - Hd), (0, Wp2 - Wd)))
+                plane = feat_plane[mod][tids]
+                r0i = base_r[:, None] + feat_dr[mod][tids]
+                c0i = base_c[:, None] + feat_dc[mod][tids]
+                nfe = feat_n[mod][tids]
+                s16 = refine_sweep(D, plane, r0i, c0i, nfe)
+                total16 = total16 + s16.astype(jnp.float32)
+        else:
+          for mod in range(num_mod):
             # D[plane, cell_r, cell_c]: R0 sampled on the T0 grid
             R = R0[mod].astype(jnp.bfloat16)
             R = jnp.pad(R, ((0, 0), (0, Hd * t0 - H0), (0, Wd * t0 - W0)))

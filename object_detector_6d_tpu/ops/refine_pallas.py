@@ -1,0 +1,93 @@
+"""Pallas kernel: sparse local-refinement sweep (the match hot spot).
+
+The 16x16 local similarity sweep sums, per candidate, one 16x16 tile of
+the decimated response grid per template feature:
+
+    score16[k] = sum_f D[plane_kf, r0_kf : r0_kf+16, c0_kf : c0_kf+16]
+
+A dense formulation (grouped conv against one-hot kernels) wastes 2000x
+the FLOPs (templates have ~126 features of a 200x38x38 one-hot volume)
+and XLA's gather lowering is worse still. This kernel keeps the whole
+decimated grid D resident in VMEM (int8: responses are 0..4; ~4 MB for
+a 640x480 frame at T0=5 with both modalities stacked) and runs one grid
+step per candidate, accumulating F dynamic 16x16 tile reads — pure VPU
+adds with scalar-prefetched tile offsets.
+
+Feature padding: invalid feature slots point at a zeroed pad region of D
+(no masking needed in the kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _refine_kernel(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
+    # Mosaic cannot vector-load at unaligned sublane/lane offsets, but a
+    # dynamic-shift roll of a full plane lowers fine: load the feature's
+    # plane (dynamic leading index is supported), roll the tile origin to
+    # (0, 0), take a static 16x16 slice.
+    k = pl.program_id(0)
+    F = plane_ref.shape[1]
+
+    def body(f, acc):
+        p = plane_ref[k, f]
+        r0 = r0_ref[k, f]
+        c0 = c0_ref[k, f]
+        # aligned 32-row window (sublane-aligned dynamic slice), then
+        # roll the residual row offset + the column offset in-register
+        r8 = pl.multiple_of((r0 // 8) * 8, 8)
+        win = d_ref[p, pl.ds(r8, 32), :].astype(jnp.int32)  # rotate needs 32-bit
+        rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
+        return acc + rolled[0:16, 0:16]
+
+    # per-candidate feature count: padded candidates cost nothing
+    n = nfeat_ref[k]
+    acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
+    out_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def refine_sweep(
+    d_planes: jnp.ndarray,  # [P, Hp, Wp] int8 decimated responses (padded)
+    plane_idx: jnp.ndarray,  # [K, F] int32 plane per (candidate, feature)
+    r0: jnp.ndarray,  # [K, F] int32 tile row starts (>=0, +16 in bounds)
+    c0: jnp.ndarray,  # [K, F] int32 tile col starts
+    nfeat: jnp.ndarray | None = None,  # [K] int32 features per candidate
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[K, 16, 16] int32 local similarity sums.
+
+    Constraints (enforced): the plane dims must be powers of two with
+    Wp a lane multiple (>=128) and Hp >= 32 — Mosaic's dynamic leading
+    index lowers to a shift of the plane stride and silently corrupts
+    reads for non-power-of-two strides (observed on v5e, jax 0.9).
+    """
+    K = plane_idx.shape[0]
+    P, Hp, Wp = d_planes.shape
+    if Hp & (Hp - 1) or Wp & (Wp - 1) or Wp % 128 or Hp < 32:
+        raise ValueError(
+            f"d_planes spatial dims must be powers of two (Hp>=32, Wp>=128 "
+            f"lane-aligned); got {d_planes.shape}"
+        )
+    if nfeat is None:
+        nfeat = jnp.full((K,), plane_idx.shape[1], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(K,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, 16, 16), lambda k, *_: (k, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _refine_kernel,
+        out_shape=jax.ShapeDtypeStruct((K, 16, 16), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(nfeat, plane_idx, r0, c0, d_planes)
