@@ -50,6 +50,7 @@ def main():
         max_candidates=32,
         max_dr=max_dr,
         refine_impl="pallas" if jax.default_backend() == "tpu" else "conv",
+        batch=8,
     )
 
     B = 8
@@ -66,7 +67,7 @@ def main():
         jnp.asarray(bank.sizes[1]),
         jnp.float32(80.0),
     )
-    batched = jax.jit(jax.vmap(prog, in_axes=((0, 0),) + (None,) * 8))
+    batched = prog  # natively batched program
 
     t0 = time.time()
     out = batched((bgrs, deps), *rest)

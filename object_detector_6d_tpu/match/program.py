@@ -184,18 +184,19 @@ def make_match_program(
     max_candidates: int = 64,
     max_dr: int = 64,
     refine_impl: str = "conv",
+    batch: int | None = None,
 ):
     """Build the fused per-frame matcher.
 
-    ``refine_impl``: 'conv' (XLA batch-grouped conv; works everywhere) or
-    'pallas' (VMEM-resident sparse sweep kernel; TPU only, ~3x faster).
-
     Returns a jitted function
-        run(sources, kernels_low, feat arrays, nfeat/sizes, threshold)
-        -> (xs, ys, score_pct, tids, valid, n_above), all [K]-shaped.
-    Specialized to the static frame shape / pyramid config; ``max_dr`` is
-    the bank's largest level-0 feature cell offset (pads the decimated
-    response grid).
+        run(sources, kernels_low, kernels_dec, feat_arrays, nfeat_l0,
+            nfeat_l1, sizes_l0, sizes_l1, threshold) -> [5, K+1] f32
+    (or [B, 5, K+1] when ``batch`` is set — frames batched natively so
+    the Pallas refinement DMA's each frame's response planes once).
+
+    ``refine_impl``: 'conv' (XLA batch-grouped conv; works everywhere) or
+    'pallas' (VMEM-resident sparse sweep kernel; TPU only, ~4x faster).
+    ``max_dr`` is the bank's largest level-0 feature cell offset.
     """
     levels = len(t_at_level)
     assert levels == 2, "fused program currently supports 2-level pyramids"
@@ -210,27 +211,19 @@ def make_match_program(
     # decimated level-0 grid
     Hd, Wd = -(-H0 // t0), -(-W0 // t0)
     pad_cells = 16 + max_dr + 1
-    Wp = Wd + pad_cells
-    Hp = Hd + pad_cells
 
-    @jax.jit
-    def run(
-        sources,
-        kernels_low,
-        kernels_dec,
-        feat_arrays,
-        nfeat_l0,
-        nfeat_l1,
-        sizes_l0,
-        sizes_l1,
-        threshold,
-    ):
+    def npow2(x):
+        return 1 << (x - 1).bit_length()
+
+    Hp2 = npow2(max(Hd + 17, 32))
+    Wp2 = npow2(max(Wd + 17, 128))
+
+    def coarse_stage(sources, kernels_low, nfeat_l1, sizes_l1, threshold):
+        """Single frame: quantize -> responses -> coarse sweep -> top-K."""
         qs = _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params)
-
         R0 = [response_maps(spread(q, t0)) for q in qs[0]]
         R1 = [response_maps(spread(q, t1)) for q in qs[1]]
 
-        # --- coarse sweep (level 1) over the whole bank, MXU conv ---
         raw = None
         for mod in range(num_mod):
             k = kernels_low[mod]
@@ -277,61 +270,33 @@ def make_match_program(
         valid = top_vals > -1
         tids = top_idx // (gh * gw)
         rc = top_idx % (gh * gw)
-        rr = rc // gw
-        cc = rc % gw
+        xs = (rc % gw) * t1 + off1
+        ys = (rc // gw) * t1 + off1
+        return R0, tids, valid, n_above, xs, ys
 
-        xs = cc * t1 + off1
-        ys = rr * t1 + off1
-
-        # --- refinement at level 0: decimated-grid gather, no conv ---
+    def anchors_stage(tids, xs, ys, sizes_l0):
         border = 8 * t0
         tw = sizes_l0[tids, 0]
         th = sizes_l0[tids, 1]
         x2 = jnp.minimum(jnp.maximum(xs * 2 + 1, border), W0 - tw - border)
         y2 = jnp.minimum(jnp.maximum(ys * 2 + 1, border), H0 - th - border)
-        base_r = y2 // t0 - 8  # anchor cell (>= 0 after border clamp)
-        base_c = x2 // t0 - 8
+        return x2, y2, x2 // t0 - 8, y2 // t0 - 8
 
+    def build_D(R, dtype):
+        """Response map [8, H0, W0] -> decimated planes [8*t0^2, Hp2, Wp2]."""
+        R = R.astype(dtype)
+        R = jnp.pad(R, ((0, 0), (0, Hd * t0 - H0), (0, Wd * t0 - W0)))
+        D = (
+            R.reshape(8, Hd, t0, Wd, t0)
+            .transpose(0, 2, 4, 1, 3)
+            .reshape(8 * t0 * t0, Hd, Wd)
+        )
+        return jnp.pad(D, ((0, 0), (0, Hp2 - Hd), (0, Wp2 - Wd)))
+
+    def refine_conv(R0, kernels_dec, tids, base_r, base_c):
         total16 = jnp.zeros((K_cap, 16, 16), jnp.float32)
-        if refine_impl == "pallas":
-            from object_detector_6d_tpu.ops.refine_pallas import refine_sweep
-
-            def npow2(x):
-                return 1 << (x - 1).bit_length()
-
-            Hp2 = npow2(max(Hd + 17, 32))
-            Wp2 = npow2(max(Wd + 17, 128))
-            feat_plane, feat_dr, feat_dc, feat_n = feat_arrays
-            for mod in range(num_mod):
-                R = R0[mod].astype(jnp.int8)
-                R = jnp.pad(R, ((0, 0), (0, Hd * t0 - H0), (0, Wd * t0 - W0)))
-                D = (
-                    R.reshape(8, Hd, t0, Wd, t0)
-                    .transpose(0, 2, 4, 1, 3)
-                    .reshape(8 * t0 * t0, Hd, Wd)
-                )
-                D = jnp.pad(D, ((0, 0), (0, Hp2 - Hd), (0, Wp2 - Wd)))
-                plane = feat_plane[mod][tids]
-                r0i = base_r[:, None] + feat_dr[mod][tids]
-                c0i = base_c[:, None] + feat_dc[mod][tids]
-                nfe = feat_n[mod][tids]
-                s16 = refine_sweep(D, plane, r0i, c0i, nfe)
-                total16 = total16 + s16.astype(jnp.float32)
-        else:
-          for mod in range(num_mod):
-            # D[plane, cell_r, cell_c]: R0 sampled on the T0 grid
-            R = R0[mod].astype(jnp.bfloat16)
-            R = jnp.pad(R, ((0, 0), (0, Hd * t0 - H0), (0, Wd * t0 - W0)))
-            D = (
-                R.reshape(8, Hd, t0, Wd, t0)
-                .transpose(0, 2, 4, 1, 3)
-                .reshape(8 * t0 * t0, Hd, Wd)
-            )
-            D = jnp.pad(D, ((0, 0), (0, pad_cells), (0, pad_cells)))
-
-            # per-candidate kernels (gather of contiguous rows) and
-            # per-candidate decimated windows, contracted by one
-            # batch-grouped conv -> [K, 16, 16]
+        for mod in range(num_mod):
+            D = build_D(R0[mod], jnp.bfloat16)
             kc = kernels_dec[mod][tids]  # [K, P, kd, kd] bf16
             kd = kc.shape[2]
             win = 16 + kd - 1
@@ -339,7 +304,7 @@ def make_match_program(
             def window(br, bc):
                 return jax.lax.dynamic_slice(D, (0, br, bc), (D.shape[0], win, win))
 
-            wins = jax.vmap(window)(base_r, base_c)  # [K, P, win, win]
+            wins = jax.vmap(window)(base_r, base_c)
             s16 = jax.lax.conv_general_dilated(
                 wins,
                 kc,
@@ -348,9 +313,11 @@ def make_match_program(
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 batch_group_count=K_cap,
                 preferred_element_type=jnp.float32,
-            )[0]  # [K, 16, 16]
+            )[0]
             total16 = total16 + s16
+        return total16
 
+    def post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0, threshold):
         nf0 = nfeat_l0[tids].astype(jnp.float32)
         pct16 = total16 * jnp.float32(100.0) / (jnp.float32(4.0) * nf0[:, None, None])
         best_flat = jnp.argmax(pct16.reshape(K_cap, -1), axis=1)
@@ -362,8 +329,6 @@ def make_match_program(
         nx = (x2 // t0 - 8 + best_c) * t0 + off0
         ny = (y2 // t0 - 8 + best_r) * t0 + off0
         keep = valid & (best >= threshold.astype(jnp.float32))
-        # Pack everything into one f32 array: a single device->host
-        # transfer (each separate transfer costs a full tunnel roundtrip).
         packed = jnp.stack(
             [
                 nx.astype(jnp.float32),
@@ -377,4 +342,84 @@ def make_match_program(
         n_col = jnp.full((5, 1), n_above.astype(jnp.float32))
         return jnp.concatenate([packed, n_col], axis=1)  # [5, K+1]
 
-    return run
+    @jax.jit
+    def run(
+        sources,
+        kernels_low,
+        kernels_dec,
+        feat_arrays,
+        nfeat_l0,
+        nfeat_l1,
+        sizes_l0,
+        sizes_l1,
+        threshold,
+    ):
+        R0, tids, valid, n_above, xs, ys = coarse_stage(
+            sources, kernels_low, nfeat_l1, sizes_l1, threshold
+        )
+        x2, y2, base_c, base_r = anchors_stage(tids, xs, ys, sizes_l0)
+        if refine_impl == "pallas":
+            from object_detector_6d_tpu.ops.refine_pallas import refine_sweep
+
+            feat_plane, feat_dr, feat_dc, feat_n = feat_arrays
+            total16 = jnp.zeros((K_cap, 16, 16), jnp.float32)
+            for mod in range(num_mod):
+                D = build_D(R0[mod], jnp.int8)
+                plane = feat_plane[mod][tids]
+                r0i = base_r[:, None] + feat_dr[mod][tids]
+                c0i = base_c[:, None] + feat_dc[mod][tids]
+                nfe = feat_n[mod][tids]
+                total16 = total16 + refine_sweep(D, plane, r0i, c0i, nfe).astype(
+                    jnp.float32
+                )
+        else:
+            total16 = refine_conv(R0, kernels_dec, tids, base_r, base_c)
+        return post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0, threshold)
+
+    if batch is None:
+        return run
+
+    @jax.jit
+    def run_batched(
+        sources,
+        kernels_low,
+        kernels_dec,
+        feat_arrays,
+        nfeat_l0,
+        nfeat_l1,
+        sizes_l0,
+        sizes_l1,
+        threshold,
+    ):
+        pre = jax.vmap(
+            lambda s: coarse_stage(s, kernels_low, nfeat_l1, sizes_l1, threshold)
+        )(sources)
+        R0_b, tids_b, valid_b, n_above_b, xs_b, ys_b = pre
+        x2_b, y2_b, base_c_b, base_r_b = jax.vmap(
+            lambda t, x, y: anchors_stage(t, x, y, sizes_l0)
+        )(tids_b, xs_b, ys_b)
+        if refine_impl == "pallas":
+            from object_detector_6d_tpu.ops.refine_pallas import refine_sweep_batched
+
+            feat_plane, feat_dr, feat_dc, feat_n = feat_arrays
+            total16 = jnp.zeros((batch, K_cap, 16, 16), jnp.float32)
+            for mod in range(num_mod):
+                D_b = jax.vmap(lambda R: build_D(R, jnp.int8))(R0_b[mod])
+                plane = feat_plane[mod][tids_b]
+                r0i = base_r_b[:, :, None] + feat_dr[mod][tids_b]
+                c0i = base_c_b[:, :, None] + feat_dc[mod][tids_b]
+                nfe = feat_n[mod][tids_b]
+                total16 = total16 + refine_sweep_batched(
+                    D_b, plane, r0i, c0i, nfe
+                ).astype(jnp.float32)
+        else:
+            total16 = jax.vmap(
+                lambda R0s, t, br, bc: refine_conv(R0s, kernels_dec, t, br, bc)
+            )(R0_b, tids_b, base_r_b, base_c_b)
+        return jax.vmap(
+            lambda t16, t, v, na, x2, y2: post_stage(
+                t16, t, v, na, x2, y2, nfeat_l0, threshold
+            )
+        )(total16, tids_b, valid_b, n_above_b, x2_b, y2_b)
+
+    return run_batched

@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _refine_kernel(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
+    Hp = d_ref.shape[1]
     # Mosaic cannot vector-load at unaligned sublane/lane offsets, but a
     # dynamic-shift roll of a full plane lowers fine: load the feature's
     # plane (dynamic leading index is supported), roll the tile origin to
@@ -41,7 +42,8 @@ def _refine_kernel(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
         c0 = c0_ref[k, f]
         # aligned 32-row window (sublane-aligned dynamic slice), then
         # roll the residual row offset + the column offset in-register
-        r8 = pl.multiple_of((r0 // 8) * 8, 8)
+        # aligned window start, clamped so the 32-row read stays in bounds
+        r8 = pl.multiple_of(jnp.minimum((r0 // 8) * 8, Hp - 32), 8)
         win = d_ref[p, pl.ds(r8, 32), :].astype(jnp.int32)  # rotate needs 32-bit
         rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
         return acc + rolled[0:16, 0:16]
@@ -88,6 +90,65 @@ def refine_sweep(
     return pl.pallas_call(
         _refine_kernel,
         out_shape=jax.ShapeDtypeStruct((K, 16, 16), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(nfeat, plane_idx, r0, c0, d_planes)
+
+
+def _refine_kernel_batched(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
+    Hp = d_ref.shape[2]
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+
+    def body(f, acc):
+        p = plane_ref[b, k, f]
+        r0 = r0_ref[b, k, f]
+        c0 = c0_ref[b, k, f]
+        r8 = pl.multiple_of(jnp.minimum((r0 // 8) * 8, Hp - 32), 8)
+        win = d_ref[0, p, pl.ds(r8, 32), :].astype(jnp.int32)
+        rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
+        return acc + rolled[0:16, 0:16]
+
+    n = nfeat_ref[b, k]
+    acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
+    out_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def refine_sweep_batched(
+    d_planes: jnp.ndarray,  # [B, P, Hp, Wp] int8
+    plane_idx: jnp.ndarray,  # [B, K, F] int32
+    r0: jnp.ndarray,  # [B, K, F] int32
+    c0: jnp.ndarray,  # [B, K, F] int32
+    nfeat: jnp.ndarray | None = None,  # [B, K] int32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched refine_sweep: grid (B, K) with the frame's planes DMA'd to
+    VMEM once per frame (the k axis iterates fastest, so the [1, P, Hp,
+    Wp] block is reused across all K candidates)."""
+    B, K = plane_idx.shape[0], plane_idx.shape[1]
+    P, Hp, Wp = d_planes.shape[1:]
+    if Hp & (Hp - 1) or Wp & (Wp - 1) or Wp % 128 or Hp < 32:
+        raise ValueError(
+            f"d_planes spatial dims must be powers of two (Hp>=32, Wp>=128 "
+            f"lane-aligned); got {d_planes.shape}"
+        )
+    if nfeat is None:
+        nfeat = jnp.full((B, K), plane_idx.shape[2], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, K),
+        in_specs=[
+            pl.BlockSpec((1, P, Hp, Wp), lambda b, k, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 16, 16), lambda b, k, *_: (b, k, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _refine_kernel_batched,
+        out_shape=jax.ShapeDtypeStruct((B, K, 16, 16), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(nfeat, plane_idx, r0, c0, d_planes)
