@@ -90,6 +90,7 @@ def render_translated(
     K: np.ndarray,
     t_xyz_m,
     bg_mm: int = 1500,
+    smooth_texture: bool = False,
 ):
     """Rigidly translate the masked object in 3D and re-render by z-buffer
     splatting (nearest-pixel). Returns (depth_u16, mask, gray) of the new
@@ -116,10 +117,14 @@ def render_translated(
     depth.reshape(-1)[flat] = Z[order]
     new_mask = np.zeros((H, W), bool)
     new_mask.reshape(-1)[flat] = True
-    # object-attached checkerboard texture (from source pixel coords)
-    checker = ((xs_ok // 16 + ys_ok // 16) % 2).astype(np.uint8)
+    # object-attached texture (from source pixel coords)
+    if smooth_texture:
+        tex = (127 + 90 * np.sin(xs_ok / 17.0) * np.cos(ys_ok / 23.0)).astype(np.uint8)
+    else:
+        checker = ((xs_ok // 16 + ys_ok // 16) % 2).astype(np.uint8)
+        tex = (60 + 140 * checker).astype(np.uint8)
     gray = np.full((H, W), 128, np.uint8)
-    gray.reshape(-1)[flat] = (60 + 140 * checker[order]).astype(np.uint8)
+    gray.reshape(-1)[flat] = tex[order]
     # fill single-pixel holes inside the splat (median of 3x3 where hole)
     dm = np.round(depth * 1000).astype(np.uint16)
     return dm, new_mask, gray
