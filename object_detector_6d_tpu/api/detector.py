@@ -169,8 +169,15 @@ class Detector:
 
         for cid in class_ids:
             path = path_format % cid
-            loader = yaml_store.load_npz if path.endswith(".npz") else yaml_store.read_class
-            read_cid, mods, levels, tps = loader(path)
+            if path.endswith(".npz"):
+                result = yaml_store.load_npz(path)
+            else:
+                from object_detector_6d_tpu.io import native
+
+                result = native.read_class_native(path)
+                if result is None:  # no toolchain: pure-Python fallback
+                    result = yaml_store.read_class(path)
+            read_cid, mods, levels, tps = result
             if list(mods) != list(self.modality_names) or levels != self.pyramid_levels:
                 raise ValueError(
                     f"store {path} was built for modalities={mods}, "
