@@ -24,6 +24,12 @@ Public API mirrors the reference: build a :class:`Detector`, add templates
 
 from object_detector_6d_tpu.version import __version__
 
+# Public API surface (lazy submodule attributes keep import light).
+from object_detector_6d_tpu.api.detector import Detector, Match
+from object_detector_6d_tpu.api.pipeline import PoseDetector
+from object_detector_6d_tpu.refine.icp import ICP
+from object_detector_6d_tpu.refine.pose import Pose, PoseCluster, cluster_poses
+
 from object_detector_6d_tpu.core.config import (
     ColorGradientParams,
     DepthNormalParams,
@@ -35,6 +41,13 @@ from object_detector_6d_tpu.core.se3 import SE3
 
 __all__ = [
     "__version__",
+    "Detector",
+    "Match",
+    "PoseDetector",
+    "ICP",
+    "Pose",
+    "PoseCluster",
+    "cluster_poses",
     "ColorGradientParams",
     "DepthNormalParams",
     "DetectorParams",

@@ -65,6 +65,9 @@ class PoseDetector:
         self.scene_window = scene_window
         self.scene_stride = scene_points_stride
         self.views: Dict[Tuple[str, int], _ViewRecord] = {}
+        from object_detector_6d_tpu.utils.metrics import PipelineCounters
+
+        self.counters = PipelineCounters()
 
     # ------------------------------------------------------------------
     # training
@@ -132,11 +135,18 @@ class PoseDetector:
         match_threshold: Optional[float] = None,
     ) -> List[Pose]:
         """Full pipeline: match -> lift -> batched ICP -> score -> NMS."""
+        from object_detector_6d_tpu.utils.metrics import validate_frame
+
+        validate_frame(depth_u16, K, rgb)
         p = self.params
         threshold = p.match_threshold if match_threshold is None else match_threshold
         sources = self._sources(rgb, depth_u16)
         matches = self.detector.match(sources, threshold, class_ids)
+        self.counters.inc("frames")
+        self.counters.inc("matches", len(matches))
         matches = matches[: p.max_hypotheses]
+        for m in matches:
+            self.counters.observe("match_similarity", m.similarity)
         if not matches:
             return []
 
@@ -195,10 +205,13 @@ class PoseDetector:
                     match_similarity=m.similarity,
                 )
             )
+        for r in residuals:
+            self.counters.observe("icp_residual", float(r))
         clusters = cluster_poses(
             out,
             translation_threshold=p.nms_radius_px / float(intr.fx) * 1.0,
         )
+        self.counters.inc("detections", len(clusters))
         return [c.mean_pose() for c in clusters]
 
 

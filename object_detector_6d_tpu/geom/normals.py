@@ -117,3 +117,48 @@ def normals_cross(points: jnp.ndarray) -> jnp.ndarray:
     n = jnp.where(flip, -n, n)
     bad = ~jnp.isfinite(norm[..., 0]) | (norm[..., 0] == 0)
     return jnp.where(bad[..., None], jnp.nan, n)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def normals_sri(points: jnp.ndarray, K: jnp.ndarray, window_size: int = 5) -> jnp.ndarray:
+    """SRI-method normals (RGBD_NORMALS_METHOD_SRI class of estimator).
+
+    The range image r(u, v) = |p| is smoothed and differentiated in
+    image space; surface tangents follow from p = r(u,v) * ray(u,v):
+    t_u = r_u * ray + r * ray_u (analytic ray derivatives), and the
+    normal is their cross product, camera-oriented. Matches FALS to a
+    few degrees on smooth surfaces; cheaper (no per-pixel solve).
+    """
+    H, W, _ = points.shape
+    radius = window_size // 2
+    from object_detector_6d_tpu.core.intrinsics import Intrinsics, pixel_grid
+
+    intr = Intrinsics.from_matrix(K)
+    u, v = pixel_grid(H, W)
+    rays = jnp.stack(
+        [(u - intr.cx) / intr.fx, (v - intr.cy) / intr.fy, jnp.ones_like(u)],
+        axis=-1,
+    )
+    norm_r = jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    rays_u = rays / norm_r
+    # analytic derivatives of the unit ray field
+    d_du = jnp.gradient(rays_u, axis=1)
+    d_dv = jnp.gradient(rays_u, axis=0)
+
+    r = jnp.linalg.norm(points, axis=-1)
+    valid = jnp.isfinite(r) & (r > 0)
+    w = valid.astype(points.dtype)
+    r0 = jnp.where(valid, r, 0.0)
+    rs = _box_sum(r0, radius) / jnp.maximum(_box_sum(w, radius), 1.0)
+    r_u = jnp.gradient(rs, axis=1)
+    r_v = jnp.gradient(rs, axis=0)
+
+    t_u = r_u[..., None] * rays_u + rs[..., None] * d_du
+    t_v = r_v[..., None] * rays_u + rs[..., None] * d_dv
+    n = jnp.cross(t_v, t_u)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / norm
+    flip = jnp.sum(n * rays_u, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    bad = (~valid) | (norm[..., 0] == 0) | ~jnp.isfinite(norm[..., 0])
+    return jnp.where(bad[..., None], jnp.nan, n)

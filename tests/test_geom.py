@@ -59,3 +59,19 @@ def test_normals_fals_unit_length(golden):
     m = np.isfinite(n).all(-1)
     norms = np.linalg.norm(n[m], axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_normals_sri(golden):
+    from object_detector_6d_tpu.geom.normals import normals_sri
+
+    g = golden("geom")
+    n = np.asarray(normals_sri(g["p3d"], g["K"]))
+    expected = g["normals_fals"]
+    m = np.isfinite(n).all(-1) & np.isfinite(expected).all(-1)
+    m[:6] = m[-6:] = False
+    m[:, :6] = m[:, -6:] = False
+    dots = np.clip(np.abs((n[m] * expected[m]).sum(-1)), 0, 1)
+    ang = np.degrees(np.arccos(dots))
+    # SRI smooths more than FALS; agree on smooth surfaces to a few deg
+    assert np.median(ang) < 2.0, f"median angular diff {np.median(ang):.2f}"
+    assert (n[m][:, 2] < 0).mean() > 0.99
