@@ -48,6 +48,48 @@ class _ViewRecord:
     view_pose: Optional[np.ndarray]  # model -> training camera, or None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _geometry_single(k_bytes: bytes, shape):
+    """Jitted cloud+normals program for one frame (device-resident out)."""
+    from object_detector_6d_tpu.geom.normals import FalsNormals
+
+    K = np.frombuffer(k_bytes, np.float64).reshape(3, 3)
+    est = FalsNormals(shape[0], shape[1], K)
+    Kj = jnp.asarray(K)
+
+    import jax
+
+    @jax.jit
+    def run(depth):
+        cloud = depth_to_3d(depth, Kj)
+        return jnp.concatenate([cloud, est(cloud)], -1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=4)
+def _window_median_fn(win: int, shape):
+    """NaN-aware median of fixed windows around given centers (device)."""
+    import jax
+
+    H, W = shape
+
+    @jax.jit
+    def run(z_img, centers):
+        def one(c):
+            x0 = jnp.clip(c[0] - win // 2, 0, W - win)
+            y0 = jnp.clip(c[1] - win // 2, 0, H - win)
+            w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))
+            return jnp.nanmedian(w)
+
+        return jax.vmap(one)(centers)
+
+    return run
+
+
 class PoseDetector:
     """Template-based 6D object detector (mirrors the reference API)."""
 
@@ -150,37 +192,42 @@ class PoseDetector:
         if not matches:
             return []
 
-        cloud = np.asarray(depth_to_3d(depth_u16, K))
-        normals = np.asarray(normals_fals(cloud, K))
-        scene6 = np.concatenate([cloud, normals], -1).astype(np.float32)
+        # device-resident geometry: only tiny scalars cross the tunnel
+        # (full cloud/normal transfers cost ~250 ms through remote PJRT)
+        kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
+        H, W = np.asarray(depth_u16).shape
+        scene6 = _geometry_single(kb, (H, W))(jnp.asarray(depth_u16))
         intr = Intrinsics.from_matrix(np.asarray(K))
 
-        # --- lift hypotheses ---
-        H, W = cloud.shape[:2]
-        hyps: List[Tuple[Match, _ViewRecord, np.ndarray]] = []
+        # --- lift hypotheses (window depth medians computed on device) ---
+        pre = []
+        centers = []
         for m in matches:
             rec = self.views.get((m.class_id, m.template_id))
             if rec is None:
                 continue
             bw, bh = rec.bbox[2], rec.bbox[3]
-            cx = m.x + bw / 2.0
-            cy = m.y + bh / 2.0
-            # depth at the matched region (median of valid pixels)
-            y0, y1 = max(0, m.y), min(H, m.y + bh + 1)
-            x0, x1 = max(0, m.x), min(W, m.x + bw + 1)
-            zwin = cloud[y0:y1, x0:x1, 2]
-            z = float(np.nanmedian(zwin)) if np.isfinite(zwin).any() else float("nan")
+            pre.append((m, rec))
+            centers.append((int(m.x + bw // 2), int(m.y + bh // 2)))
+        if not pre:
+            return []
+        med_fn = _window_median_fn(self.scene_window, (H, W))
+        zmeds = np.asarray(
+            med_fn(scene6[..., 2], jnp.asarray(np.asarray(centers, np.int32)))
+        )
+        hyps: List[Tuple[Match, _ViewRecord, np.ndarray]] = []
+        for (m, rec), z in zip(pre, zmeds):
             if not np.isfinite(z):
                 continue
-            target = np.asarray(intr.reproject(cx, cy, z))
-            t0 = target - rec.anchor_point
+            bw, bh = rec.bbox[2], rec.bbox[3]
+            target = np.asarray(intr.reproject(m.x + bw / 2.0, m.y + bh / 2.0, float(z)))
             pose0 = np.eye(4, dtype=np.float32)
-            pose0[:3, 3] = t0
+            pose0[:3, 3] = target - rec.anchor_point
             hyps.append((m, rec, pose0))
         if not hyps:
             return []
 
-        # --- batched ICP (model clouds stacked; same scene) ---
+        # --- batched ICP (model clouds stacked; scene stays on device) ---
         models = np.stack([h[1].model_cloud for h in hyps])
         poses0 = np.stack([h[2] for h in hyps])
         scene_sub = scene6[:: self.scene_stride, :: self.scene_stride].reshape(-1, 6)
