@@ -152,3 +152,82 @@ def refine_sweep_batched(
         grid_spec=grid_spec,
         interpret=interpret,
     )(nfeat, plane_idx, r0, c0, d_planes)
+
+
+def _coarse_kernel(nfeat_ref, plane_ref, dr_ref, dc_ref, d_ref, out_ref):
+    """Full-grid coarse sweep: out[b, t] = sum_f roll(plane_f, -dr_f, -dc_f).
+
+    Same roll trick as the refinement kernel, but the anchor grid origin
+    is fixed at (0, 0) so the whole (padded) output window accumulates at
+    once; the caller slices the real [gh, gw] grid out of the padded
+    block and applies span masks/thresholds in XLA.
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    Hp = d_ref.shape[2]
+    OH = out_ref.shape[2]
+
+    def body(f, acc):
+        p = plane_ref[t, f]
+        dr = dr_ref[t, f]
+        dc = dc_ref[t, f]
+        r8 = pl.multiple_of(jnp.minimum((dr // 8) * 8, Hp - OH - 8), 8)
+        win = d_ref[0, p, pl.ds(r8, OH + 8), :].astype(jnp.int32)
+        rolled = pltpu.roll(pltpu.roll(win, -(dr - r8), 0), -dc, 1)
+        return acc + rolled[0:OH, :]
+
+    n = nfeat_ref[t]
+    acc = jax.lax.fori_loop(
+        0, n, body, jnp.zeros((out_ref.shape[2], out_ref.shape[3]), jnp.int32)
+    )
+    out_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "interpret"))
+def coarse_sweep(
+    d_planes: jnp.ndarray,  # [B, P, Hp, Wp] int8 decimated level-1 responses
+    plane_idx: jnp.ndarray,  # [nT, F] int32
+    dr: jnp.ndarray,  # [nT, F] int32 (cell row offsets, < Hp - out_h - 8)
+    dc: jnp.ndarray,  # [nT, F] int32 (cell col offsets)
+    nfeat: jnp.ndarray,  # [nT] int32
+    out_h: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, nT, out_h, Wp] int32 raw similarity grid (valid for anchors
+    where r + dr stays within the zero-padded planes).
+
+    STATUS: experimental and currently ~25x slower than the XLA strided
+    conv the fused program uses — the per-feature roll/accumulate body
+    runs ~7 us/feature on v5e (vs ~0.2 us in the 16x16 refine kernel; the
+    wide accumulate + rotate lowering needs investigation). Kept as the
+    starting point for the large-bank (1000+ template) sweep kernel; do
+    not wire into the hot path yet. Scalar-prefetch feature tables also
+    exceed SMEM beyond ~600 templates (chunk them when revisiting).
+    """
+    B, P, Hp, Wp = d_planes.shape
+    nT = plane_idx.shape[0]
+    if Hp & (Hp - 1) or Wp & (Wp - 1) or Wp % 128 or Hp < out_h + 8:
+        raise ValueError(f"bad plane dims {d_planes.shape} (pow2, Wp>=128, Hp>=out_h+8)")
+    if out_h % 8:
+        raise ValueError("out_h must be a sublane multiple")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B, nT),
+        in_specs=[
+            pl.BlockSpec((1, P, Hp, Wp), lambda b, t, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, out_h, Wp), lambda b, t, *_: (b, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _coarse_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, nT, out_h, Wp), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(nfeat, plane_idx, dr, dc, d_planes)
