@@ -71,11 +71,14 @@ def _geometry_single(k_bytes: bytes, shape):
 
 
 @functools.lru_cache(maxsize=4)
-def _window_median_fn(win: int, shape):
-    """NaN-aware median of fixed windows around given centers (device)."""
+def _window_quantiles_fn(win: int, shape):
+    """NaN-aware depth quantiles (q25/q50/q75) of fixed windows around
+    given centers (device). Multiple depth seeds make the hypothesis
+    lift robust to occluders inside the match window (config 3)."""
     import jax
 
     H, W = shape
+    qs = jnp.asarray([0.25, 0.5, 0.75])
 
     @jax.jit
     def run(z_img, centers):
@@ -83,7 +86,7 @@ def _window_median_fn(win: int, shape):
             x0 = jnp.clip(c[0] - win // 2, 0, W - win)
             y0 = jnp.clip(c[1] - win // 2, 0, H - win)
             w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))
-            return jnp.nanmedian(w)
+            return jnp.nanquantile(w, qs)
 
         return jax.vmap(one)(centers)
 
@@ -211,19 +214,27 @@ class PoseDetector:
             centers.append((int(m.x + bw // 2), int(m.y + bh // 2)))
         if not pre:
             return []
-        med_fn = _window_median_fn(self.scene_window, (H, W))
-        zmeds = np.asarray(
-            med_fn(scene6[..., 2], jnp.asarray(np.asarray(centers, np.int32)))
+        q_fn = _window_quantiles_fn(self.scene_window, (H, W))
+        zqs = np.asarray(
+            q_fn(scene6[..., 2], jnp.asarray(np.asarray(centers, np.int32)))
         )
-        hyps: List[Tuple[Match, _ViewRecord, np.ndarray]] = []
-        for (m, rec), z in zip(pre, zmeds):
-            if not np.isfinite(z):
-                continue
+        # multi-depth lift: one hypothesis per distinct depth quantile
+        # (occluders in the window skew any single statistic — config 3)
+        hyps: List[Tuple[Match, _ViewRecord, np.ndarray, int]] = []
+        for mi, ((m, rec), zq) in enumerate(zip(pre, zqs)):
+            zs = [float(z) for z in zq if np.isfinite(z)]
+            zs_u = []
+            for z in zs:
+                if all(abs(z - z2) > 0.015 for z2 in zs_u):
+                    zs_u.append(z)
             bw, bh = rec.bbox[2], rec.bbox[3]
-            target = np.asarray(intr.reproject(m.x + bw / 2.0, m.y + bh / 2.0, float(z)))
-            pose0 = np.eye(4, dtype=np.float32)
-            pose0[:3, 3] = target - rec.anchor_point
-            hyps.append((m, rec, pose0))
+            for z in zs_u:
+                target = np.asarray(
+                    intr.reproject(m.x + bw / 2.0, m.y + bh / 2.0, z)
+                )
+                pose0 = np.eye(4, dtype=np.float32)
+                pose0[:3, 3] = target - rec.anchor_point
+                hyps.append((m, rec, pose0, mi))
         if not hyps:
             return []
 
@@ -234,9 +245,20 @@ class PoseDetector:
         icp = ICP.from_params(p.icp)
         residuals, poses = _batched_icp(icp, models, scene_sub, poses0)
 
+        # keep the best-residual hypothesis per match
+        best_by_match: Dict[int, int] = {}
+        for i, h in enumerate(hyps):
+            mi = h[3]
+            if mi not in best_by_match or residuals[i] < residuals[best_by_match[mi]]:
+                best_by_match[mi] = i
+        keep_idx = sorted(best_by_match.values())
+        hyps = [hyps[i] for i in keep_idx]
+        residuals = residuals[keep_idx]
+        poses = poses[keep_idx]
+
         # --- score + NMS ---
         out: List[Pose] = []
-        for i, (m, rec, _p0) in enumerate(hyps):
+        for i, (m, rec, _p0, _mi) in enumerate(hyps):
             pose = poses[i]
             if rec.view_pose is not None:
                 pose = pose @ rec.view_pose
@@ -310,10 +332,13 @@ def _icp_run_multi(models, scene_pc, poses, iterations, tolerance, rejection_sca
             sample = jnp.nan_to_num(sample)
             iters = max(1, iterations // num_levels)
 
+            cap = jnp.float32(0.015) * (1 << level)
+
             def body(carry):
                 i, pose, _res, _upd = carry
                 new_pose, upd, res = _p2pl_step(
-                    pose, sample, scene_pts, scene_nrm, scene_valid, mask, rejection_scale
+                    pose, sample, scene_pts, scene_nrm, scene_valid, mask,
+                    rejection_scale, max_corr_dist=cap,
                 )
                 return i + 1, new_pose, res, upd
 

@@ -66,8 +66,12 @@ def _solve6(A, b):
     return jnp.linalg.solve(A, b)
 
 
-def _p2pl_step(pose, model_pc, scene_pts, scene_nrm, scene_valid, sample_mask, rejection_scale):
-    """One point-to-plane iteration: associate, reject, solve, retract."""
+def _p2pl_step(pose, model_pc, scene_pts, scene_nrm, scene_valid, sample_mask, rejection_scale, max_corr_dist=None):
+    """One point-to-plane iteration: associate, reject, solve, retract.
+
+    ``max_corr_dist``: optional absolute correspondence cap on top of the
+    MAD rule — occluded model points otherwise latch onto whatever
+    surface is nearest and drag the pose (config-3 robustness)."""
     mp = SE3.apply(pose, model_pc[:, :3])
     idx, d2 = _nearest_scene(mp, scene_pts, scene_valid)
     q = scene_pts[idx]
@@ -82,6 +86,8 @@ def _p2pl_step(pose, model_pc, scene_pts, scene_nrm, scene_valid, sample_mask, r
     mad = jnp.nan_to_num(mad)
     sigma = jnp.float32(1.4826) * mad
     thr = med + rejection_scale * sigma
+    if max_corr_dist is not None:
+        thr = jnp.minimum(thr, max_corr_dist)
     w = (sample_mask & (d_masked <= thr) & jnp.isfinite(d_masked)).astype(jnp.float32)
 
     r = jnp.sum((mp - q) * n, axis=-1)  # signed point-to-plane residual
