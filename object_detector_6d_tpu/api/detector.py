@@ -353,16 +353,17 @@ class Detector:
     @staticmethod
     def _sort_dedup(matches: List[Match]) -> List[Match]:
         matches.sort(key=Match.sort_key)
-        # unique: drop consecutive duplicates (same x, y, similarity, class)
+        # unique over (x, y, similarity, class): set-based, keeping the
+        # first occurrence. (The oracle sorts then drops adjacent
+        # duplicates; with similarity ties across classes its unstable
+        # sort groups equivalents — a set matches that behavior robustly.)
         out: List[Match] = []
+        seen = set()
         for m in matches:
-            if out and (
-                m.x == out[-1].x
-                and m.y == out[-1].y
-                and m.similarity == out[-1].similarity
-                and m.class_id == out[-1].class_id
-            ):
+            key = (m.x, m.y, m.similarity, m.class_id)
+            if key in seen:
                 continue
+            seen.add(key)
             out.append(m)
         return out
 
