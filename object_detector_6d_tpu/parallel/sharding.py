@@ -37,15 +37,36 @@ from object_detector_6d_tpu.match.response import response_maps, spread
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
-    """2D (data, model) mesh over the available devices."""
+    """2D (data, model) mesh over the available devices.
+
+    Raises a clear error when the runtime exposes fewer devices than
+    requested (e.g. asking for 8 with one real chip visible) — callers
+    that need a virtual mesh must provision it via ``JAX_PLATFORMS=cpu``
+    + ``--xla_force_host_platform_device_count`` *before* jax initializes
+    (see tests/conftest.py and __graft_entry__.dryrun_multichip).
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}) needs {n} devices but jax.devices() has "
+            f"{len(devs)} ({jax.default_backend()} backend). Provision a "
+            "virtual CPU mesh with JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            "jax initializes."
+        )
     devs = devs[:n]
-    # favor a square-ish factorization, model axis at least 2 when possible
+    # square-ish factorization: model (TP) axis gets the larger factor
     tp = 1
     for cand in (2, 4, 8):
-        if n % cand == 0 and n // cand >= 1:
+        if n % cand == 0 and n // cand <= cand:
             tp = cand
+            break
+    else:
+        for cand in (8, 4, 2):
+            if n % cand == 0:
+                tp = cand
+                break
     dp = n // tp
     arr = np.array(devs).reshape(dp, tp)
     return Mesh(arr, axis_names=("data", "model"))
