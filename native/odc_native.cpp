@@ -82,6 +82,11 @@ static void parse_features(const std::string& text, size_t start, size_t end,
   while (p < e) {
     const char* br = (const char*)memchr(p, '[', e - p);
     if (!br) break;
+    const char* body = skip_ws(br + 1, e);
+    if (body < e && *body == ']') {  // empty flow list "[]": no feature
+      p = body + 1;
+      continue;
+    }
     char* q;
     long x = strtol(br + 1, &q, 10);
     while (*q == ',' || *q == ' ') ++q;
@@ -107,7 +112,6 @@ static Store* parse_store(const std::string& text) {
     const char* b = text.c_str() + colon;
     const char* e = text.c_str() + eol;
     b = skip_ws(b, e);
-    s->class_id.assign(b, e - (b - text.c_str() - colon) - colon + colon);
     s->class_id.assign(b, (size_t)(e - b));
     while (!s->class_id.empty() && isspace((unsigned char)s->class_id.back()))
       s->class_id.pop_back();

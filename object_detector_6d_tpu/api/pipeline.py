@@ -142,9 +142,10 @@ class PoseDetector:
         pts = cloud[ys[sel], xs[sel]]
         nrm = normals[ys[sel], xs[sel]]
         model = np.concatenate([pts, nrm], -1).astype(np.float32)
-        # pad to fixed size with NaN (ignored by masked ICP sampling)
+        # pad to fixed size with NaN (excluded by the ICP sample mask —
+        # finite padding would let duplicate rows bias the normal equations)
         if len(model) < self.model_points:
-            pad = np.full((self.model_points - len(model), 6), model[0], np.float32)
+            pad = np.full((self.model_points - len(model), 6), np.nan, np.float32)
             model = np.concatenate([model, pad], 0)
         bx, by, bw, bh = bbox
         z = float(np.nanmedian(pts[:, 2]))

@@ -38,7 +38,9 @@ from object_detector_6d_tpu.geom.normals import normals_cross
 
 _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
-DEFAULT_ITER_COUNTS = (10, 7, 7, 7)  # fine -> coarse (reference order reversed)
+# fine -> coarse; the oracle's defaultIterCounts {7,7,7,10} is indexed by
+# pyramid level with level 0 = finest, so the coarsest level gets 10
+DEFAULT_ITER_COUNTS = (7, 7, 7, 10)
 DEFAULT_MAX_DEPTH_DIFF = 0.07  # meters (Odometry::DEFAULT_MAX_DEPTH_DIFF)
 
 

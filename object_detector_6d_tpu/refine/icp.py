@@ -80,10 +80,12 @@ def _p2pl_step(pose, model_pc, scene_pts, scene_nrm, scene_valid, sample_mask, r
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
     big = jnp.float32(1e30)
     d_masked = jnp.where(sample_mask, d, big)
-    med = jnp.median(jnp.where(sample_mask, d, jnp.nan))
-    med = jnp.nan_to_num(med)
-    mad = jnp.median(jnp.where(sample_mask, jnp.abs(d - med), jnp.nan))
-    mad = jnp.nan_to_num(mad)
+    # mask-aware robust statistics: nanmedian ignores masked samples
+    # (jnp.median would return NaN for any partially-masked batch and the
+    # rejection threshold would collapse to 0, freezing the pose)
+    d_nan = jnp.where(sample_mask, d, jnp.nan)
+    med = jnp.nan_to_num(jnp.nanmedian(d_nan))
+    mad = jnp.nan_to_num(jnp.nanmedian(jnp.abs(d_nan - med)))
     sigma = jnp.float32(1.4826) * mad
     thr = med + rejection_scale * sigma
     if max_corr_dist is not None:
@@ -177,9 +179,11 @@ def _icp_run(model_pc, scene_pc, poses, iterations, tolerance, rejection_scale, 
         for level in range(num_levels - 1, -1, -1):
             stride = 1 << level
             n_lvl = max(1, N // stride)
-            # static strided subsample of the model for this level
+            # static strided subsample of the model for this level;
+            # NaN-padded model rows are masked out (fixed-size batching)
             sample = model_pc[::stride][:n_lvl]
-            mask = jnp.ones((sample.shape[0],), bool)
+            mask = jnp.isfinite(sample[:, :3]).all(-1)
+            sample = jnp.nan_to_num(sample)
             iters = max(1, iterations // num_levels)
 
             def body(carry):
