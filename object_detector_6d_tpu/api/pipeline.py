@@ -172,6 +172,145 @@ class PoseDetector:
     # detection
     # ------------------------------------------------------------------
 
+    def detect_fused(
+        self,
+        depth_u16: np.ndarray,
+        K: np.ndarray,
+        rgb: Optional[np.ndarray] = None,
+        class_ids: Optional[Sequence[str]] = None,
+        match_threshold: Optional[float] = None,
+    ) -> List[Pose]:
+        """Single-device-call detect(): one fused program runs match ->
+        lift -> projective ICP (api/detect_program.py); only [K]-sized
+        result arrays cross the host boundary. Falls back to the
+        host-orchestrated ``detect`` on coarse-candidate overflow."""
+        out = self.detect_fused_batch(
+            np.asarray(depth_u16)[None], K,
+            None if rgb is None else np.asarray(rgb)[None],
+            class_ids, match_threshold,
+        )
+        return out[0]
+
+    def detect_fused_batch(
+        self,
+        depths: np.ndarray,  # [B, H, W] u16
+        K: np.ndarray,
+        rgbs: Optional[np.ndarray] = None,  # [B, H, W, 3] u8
+        class_ids: Optional[Sequence[str]] = None,
+        match_threshold: Optional[float] = None,
+    ) -> List[List[Pose]]:
+        """Batched fused detect over B frames sharing one camera: a single
+        device call refines every frame's hypotheses (the per-execution
+        RPC floor through a remote PJRT tunnel amortizes across B)."""
+        from object_detector_6d_tpu.api import detect_program as dp
+        from object_detector_6d_tpu.utils.metrics import validate_frame
+
+        depths = np.asarray(depths)
+        B = depths.shape[0]
+        validate_frame(depths[0], K, None if rgbs is None else rgbs[0])
+        p = self.params
+        threshold = p.match_threshold if match_threshold is None else match_threshold
+        bank = self.detector.get_bank(class_ids)
+        if bank is None:
+            return [[] for _ in range(B)]
+        cache = self.detector._kernel_cache
+        vkey = ("views", self.detector.bank_version, len(self.views),
+                self.model_points)
+        views = cache.get(vkey)
+        if views is None:
+            views = dp.pack_views(bank, self.views, self.model_points)
+            cache[vkey] = views
+        H, W = depths.shape[1:3]
+        kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
+        max_dr = ((bank.max_dr // 16) + 1) * 16
+        K_cap = max(16, p.max_hypotheses)
+        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B)
+        prog = cache.get(pkey)
+        if prog is None:
+            import jax
+
+            refine_impl = "pallas" if jax.default_backend() == "tpu" else "conv"
+            prog = dp.make_detect_program(
+                self.detector.modality_names,
+                self.detector.t_at_level,
+                (H, W),
+                self.detector.dn_params,
+                self.detector.cg_params,
+                np.asarray(K, np.float64),
+                max_candidates=K_cap,
+                max_dr=max_dr,
+                refine_impl=refine_impl,
+                icp=p.icp,
+                lift_window=self.scene_window,
+                batch=None if B == 1 else B,
+            )
+            cache[pkey] = prog
+        sources_b = []
+        for name in self.detector.modality_names:
+            if name == "ColorGradient":
+                if rgbs is None:
+                    raise ValueError("ColorGradient modality requires rgb frames")
+                sources_b.append(jnp.asarray(rgbs))
+            else:
+                sources_b.append(jnp.asarray(depths))
+        if B == 1:
+            sources_b = [s[0] for s in sources_b]
+        packed, poses, res, keep = prog(
+            sources_b,
+            bank.kernels_low,
+            bank.kernels_dec,
+            (bank.feat_plane, bank.feat_dr, bank.feat_dc, bank.feat_n),
+            jnp.asarray(bank.nfeat[0]),
+            jnp.asarray(bank.nfeat[1]),
+            jnp.asarray(bank.sizes[0]),
+            jnp.asarray(bank.sizes[1]),
+            views,
+            jnp.float32(threshold),
+        )
+        packed = np.asarray(packed).reshape(B, 5, -1)
+        poses = np.asarray(poses).reshape(B, K_cap, 4, 4)
+        res = np.asarray(res).reshape(B, K_cap)
+        keep = np.asarray(keep).reshape(B, K_cap)
+        intr = Intrinsics.from_matrix(np.asarray(K))
+        results: List[List[Pose]] = []
+        for b in range(B):
+            if int(packed[b, 0, -1]) > K_cap:
+                # coarse-candidate overflow: host path preserves parity
+                results.append(
+                    self.detect(
+                        depths[b], K, None if rgbs is None else rgbs[b],
+                        class_ids, match_threshold,
+                    )
+                )
+                continue
+            self.counters.inc("frames")
+            out: List[Pose] = []
+            for k in range(K_cap):
+                if not keep[b, k] or not np.isfinite(res[b, k]):
+                    continue
+                tid = int(packed[b, 3, k])
+                out.append(
+                    Pose(
+                        pose=np.asarray(poses[b, k], np.float64),
+                        residual=float(res[b, k]),
+                        num_votes=int(round(packed[b, 2, k] * 100)),
+                        class_id=bank.class_ids[tid],
+                        template_id=int(bank.local_tids[tid]),
+                        match_x=int(packed[b, 0, k]),
+                        match_y=int(packed[b, 1, k]),
+                        match_similarity=float(packed[b, 2, k]),
+                    )
+                )
+                self.counters.observe("icp_residual", float(res[b, k]))
+            self.counters.inc("matches", len(out))
+            clusters = cluster_poses(
+                out,
+                translation_threshold=p.nms_radius_px / float(intr.fx) * 1.0,
+            )
+            self.counters.inc("detections", len(clusters))
+            results.append([c.mean_pose() for c in clusters])
+        return results
+
     def detect(
         self,
         depth_u16: np.ndarray,

@@ -1,17 +1,19 @@
 """Streaming multi-camera detection (BASELINE config 5: 4x30 FPS RGB-D).
 
-``StreamingDetector`` processes N cameras' frames per tick with three
-device calls total (not per camera):
+``StreamingDetector.process`` runs the whole N-camera tick as ONE
+device call: PoseDetector.detect_fused_batch jits match -> geometry ->
+hypothesis lift -> projective ICP over the frame batch
+(api/detect_program.py), so the ~30-40 ms per-execution RPC floor of a
+remote PJRT tunnel is paid once per tick, not once per camera.
 
-1. one natively-batched fused match program over all frames,
-2. one batched geometry program (back-projection + normals, vmapped),
-3. one batched ICP over every (camera, hypothesis) pair — each
-   hypothesis refines against its own camera's subsampled scene cloud.
+Per-frame failure isolation: an empty camera yields an empty list; a
+frame whose coarse-candidate count overflows the program's static
+capacity falls back to the host-orchestrated path for that frame only
+(the stream never stalls — SURVEY.md section 5 failure-handling plan).
 
-Frames never round-trip to host between stages; only candidate arrays
-and final poses do. Per-frame failure isolation: a frame whose match
-stage overflows or produces nothing simply yields an empty list (the
-stream never stalls — SURVEY.md section 5 failure-handling plan).
+``process_host`` keeps the previous three-call host-orchestrated tick
+(batched geometry + batched NN-ICP, per-camera match) as a reference
+path for parity debugging.
 """
 
 from __future__ import annotations
@@ -111,6 +113,18 @@ class StreamingDetector:
         self.scene_stride = scene_stride
 
     def process(
+        self,
+        depths: np.ndarray,  # [N, H, W] u16
+        K: np.ndarray,  # shared intrinsics (per-camera K: call per group)
+        rgbs: Optional[np.ndarray] = None,  # [N, H, W, 3]
+        match_threshold: Optional[float] = None,
+    ) -> List[List[Pose]]:
+        """One fused device call for the whole camera batch."""
+        return self.det.detect_fused_batch(
+            np.asarray(depths), K, rgbs, match_threshold=match_threshold
+        )
+
+    def process_host(
         self,
         depths: np.ndarray,  # [N, H, W] u16
         K: np.ndarray,  # shared intrinsics (per-camera K: call per group)

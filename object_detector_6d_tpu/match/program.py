@@ -42,7 +42,9 @@ class PackedBank:
 
     class_ids: List[str]  # per global template id
     local_tids: np.ndarray  # [nT] local id within class
-    # coarse level (lowest): per modality kernels [nT, 8, kh, kw] f32
+    # coarse level (lowest): per modality kernels over the T1-decimated
+    # response planes, [nT, 8*t1^2, kd, kd] bf16 — the stride-T1 sweep
+    # becomes a stride-1 conv, which XLA tiles onto the MXU ~2-4x better
     kernels_low: List[jnp.ndarray]
     # refinement level 0: per modality one-hot kernels over the decimated
     # T0 grid, [nT, 8*T0^2, max_dr+1, max_dr+1] bf16 (conv path)
@@ -62,7 +64,8 @@ class PackedBank:
 
 
 def pack_bank(
-    class_templates: Dict[str, list], num_mod: int, levels: int, t0: int = 5
+    class_templates: Dict[str, list], num_mod: int, levels: int, t0: int = 5,
+    t1: int = 8,
 ) -> PackedBank:
     """Concatenate every class's template pyramids into one bank."""
     class_ids: List[str] = []
@@ -86,18 +89,22 @@ def pack_bank(
         nfeat.append(nf)
         sizes.append(sz)
 
-    # coarse (lowest level) dense one-hot conv kernels
+    # coarse (lowest level) one-hot conv kernels over the t1-decimated
+    # plane layout: channel = label*t1^2 + (fy%t1)*t1 + fx%t1, spatial
+    # offset (fy//t1, fx//t1) — see coarse_stage
     lowest = levels - 1
     kernels_low: List[jnp.ndarray] = []
     for mod in range(num_mod):
         tmpls = [tp[lowest * num_mod + mod] for tp in all_tps]
         kh = max((t.height for t in tmpls), default=0) + 1
         kw = max((t.width for t in tmpls), default=0) + 1
-        K = np.zeros((nT, 8, kh, kw), np.float32)
+        kd = (max(kh, kw) - 1) // t1 + 1
+        K = np.zeros((nT, 8 * t1 * t1, kd, kd), np.float32)
         for i, t in enumerate(tmpls):
             for f in t.features:
-                K[i, f.label, f.y, f.x] += 1.0
-        kernels_low.append(jnp.asarray(K))
+                plane = f.label * t1 * t1 + (f.y % t1) * t1 + (f.x % t1)
+                K[i, plane, f.y // t1, f.x // t1] += 1.0
+        kernels_low.append(jnp.asarray(K, dtype=jnp.bfloat16))
 
     # level-0 one-hot kernels over the decimated T0 grid: channel =
     # label*T0^2 + (fy%T0)*T0 + fx%T0, spatial offset (fy//T0, fx//T0).
@@ -218,6 +225,19 @@ def make_match_program(
     Hp2 = npow2(max(Hd + 17, 32))
     Wp2 = npow2(max(Wd + 17, 128))
 
+    # level-1 decimated grid (for the coarse sweep): ceil so the partial
+    # last cell row/col keeps its real response values
+    Hd1, Wd1 = -(-H1 // t1), -(-W1 // t1)
+
+    def decimate_l1(R):
+        """[8, H1, W1] -> [8*t1^2, Hd1, Wd1] (zero-padded partial cells)."""
+        R = jnp.pad(R, ((0, 0), (0, Hd1 * t1 - H1), (0, Wd1 * t1 - W1)))
+        return (
+            R.reshape(8, Hd1, t1, Wd1, t1)
+            .transpose(0, 2, 4, 1, 3)
+            .reshape(8 * t1 * t1, Hd1, Wd1)
+        )
+
     def coarse_stage(sources, kernels_low, nfeat_l1, sizes_l1, threshold):
         """Single frame: quantize -> responses -> coarse sweep -> top-K."""
         qs = _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params)
@@ -226,23 +246,26 @@ def make_match_program(
 
         raw = None
         for mod in range(num_mod):
-            k = kernels_low[mod]
-            kh, kw = k.shape[2], k.shape[3]
-            need_h = (gh - 1) * t1 + kh
-            need_w = (gw - 1) * t1 + kw
-            R = R1[mod].astype(jnp.bfloat16)[None]
-            R = jnp.pad(
-                R,
-                ((0, 0), (0, 0), (0, max(0, need_h - H1)), (0, max(0, need_w - W1))),
-            )
+            k = kernels_low[mod]  # [nT, 8*t1^2, kd, kd] bf16
+            kd = k.shape[3]
+            # stride-T1 sweep == stride-1 conv over the decimated planes:
+            # score[t,r,c] = sum_f R1[l, r*t1+fy, c*t1+fx]
+            #              = sum_f D[l*t1^2+(fy%t1)*t1+fx%t1, r+fy//t1, c+fx//t1]
+            D = decimate_l1(R1[mod]).astype(jnp.bfloat16)
+            need_h = gh + kd - 1
+            need_w = gw + kd - 1
+            D = jnp.pad(
+                D,
+                ((0, 0), (0, max(0, need_h - Hd1)), (0, max(0, need_w - Wd1))),
+            )[None]
             s = jax.lax.conv_general_dilated(
-                R,
-                k.astype(jnp.bfloat16),
-                window_strides=(t1, t1),
+                D,
+                k,
+                window_strides=(1, 1),
                 padding="VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
                 preferred_element_type=jnp.float32,
-            )[0].astype(jnp.int32)
+            )[0, :, :gh, :gw].astype(jnp.int32)
             raw = s if raw is None else raw + s
 
         nT = raw.shape[0]
@@ -368,7 +391,8 @@ def make_match_program(
                 plane = feat_plane[mod][tids]
                 r0i = base_r[:, None] + feat_dr[mod][tids]
                 c0i = base_c[:, None] + feat_dc[mod][tids]
-                nfe = feat_n[mod][tids]
+                # invalid top-K slots sweep zero features (kernel skips them)
+                nfe = jnp.where(valid, feat_n[mod][tids], 0)
                 total16 = total16 + refine_sweep(D, plane, r0i, c0i, nfe).astype(
                     jnp.float32
                 )
@@ -408,7 +432,8 @@ def make_match_program(
                 plane = feat_plane[mod][tids_b]
                 r0i = base_r_b[:, :, None] + feat_dr[mod][tids_b]
                 c0i = base_c_b[:, :, None] + feat_dc[mod][tids_b]
-                nfe = feat_n[mod][tids_b]
+                # invalid top-K slots sweep zero features (kernel skips them)
+                nfe = jnp.where(valid_b, feat_n[mod][tids_b], 0)
                 total16 = total16 + refine_sweep_batched(
                     D_b, plane, r0i, c0i, nfe
                 ).astype(jnp.float32)

@@ -27,33 +27,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _refine_kernel(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
-    Hp = d_ref.shape[1]
-    # Mosaic cannot vector-load at unaligned sublane/lane offsets, but a
-    # dynamic-shift roll of a full plane lowers fine: load the feature's
-    # plane (dynamic leading index is supported), roll the tile origin to
-    # (0, 0), take a static 16x16 slice.
-    k = pl.program_id(0)
-    F = plane_ref.shape[1]
-
-    def body(f, acc):
-        p = plane_ref[k, f]
-        r0 = r0_ref[k, f]
-        c0 = c0_ref[k, f]
-        # aligned 32-row window (sublane-aligned dynamic slice), then
-        # roll the residual row offset + the column offset in-register
-        # aligned window start, clamped so the 32-row read stays in bounds
-        r8 = pl.multiple_of(jnp.minimum((r0 // 8) * 8, Hp - 32), 8)
-        win = d_ref[p, pl.ds(r8, 32), :].astype(jnp.int32)  # rotate needs 32-bit
-        rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
-        return acc + rolled[0:16, 0:16]
-
-    # per-candidate feature count: padded candidates cost nothing
-    n = nfeat_ref[k]
-    acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
-    out_ref[0] = acc
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def refine_sweep(
     d_planes: jnp.ndarray,  # [P, Hp, Wp] int8 decimated responses (padded)
@@ -63,55 +36,45 @@ def refine_sweep(
     nfeat: jnp.ndarray | None = None,  # [K] int32 features per candidate
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[K, 16, 16] int32 local similarity sums.
+    """[K, 16, 16] int32 local similarity sums (single frame).
 
-    Constraints (enforced): the plane dims must be powers of two with
-    Wp a lane multiple (>=128) and Hp >= 32 — Mosaic's dynamic leading
-    index lowers to a shift of the plane stride and silently corrupts
-    reads for non-power-of-two strides (observed on v5e, jax 0.9).
+    Constraints (enforced in the batched impl): plane dims must be powers
+    of two with Wp a lane multiple (>=128) and Hp >= 32 — Mosaic's dynamic
+    leading index lowers to a shift of the plane stride and silently
+    corrupts reads for non-power-of-two strides (observed on v5e, jax 0.9).
     """
-    K = plane_idx.shape[0]
-    P, Hp, Wp = d_planes.shape
-    if Hp & (Hp - 1) or Wp & (Wp - 1) or Wp % 128 or Hp < 32:
-        raise ValueError(
-            f"d_planes spatial dims must be powers of two (Hp>=32, Wp>=128 "
-            f"lane-aligned); got {d_planes.shape}"
-        )
     if nfeat is None:
-        nfeat = jnp.full((K,), plane_idx.shape[1], jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (1, 16, 16), lambda k, *_: (k, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    return pl.pallas_call(
-        _refine_kernel,
-        out_shape=jax.ShapeDtypeStruct((K, 16, 16), jnp.int32),
-        grid_spec=grid_spec,
+        nfeat = jnp.full((plane_idx.shape[0],), plane_idx.shape[1], jnp.int32)
+    return refine_sweep_batched(
+        d_planes[None], plane_idx[None], r0[None], c0[None], nfeat[None],
         interpret=interpret,
-    )(nfeat, plane_idx, r0, c0, d_planes)
+    )[0]
 
 
 def _refine_kernel_batched(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
+    """One grid step per frame: the candidate loop lives inside the kernel
+    (256 single-candidate grid steps cost ~0.15 ms/frame in per-step
+    overhead alone; 8 frame-steps make that negligible)."""
     Hp = d_ref.shape[2]
     b = pl.program_id(0)
-    k = pl.program_id(1)
+    K = plane_ref.shape[1]
 
-    def body(f, acc):
-        p = plane_ref[b, k, f]
-        r0 = r0_ref[b, k, f]
-        c0 = c0_ref[b, k, f]
-        r8 = pl.multiple_of(jnp.minimum((r0 // 8) * 8, Hp - 32), 8)
-        win = d_ref[0, p, pl.ds(r8, 32), :].astype(jnp.int32)
-        rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
-        return acc + rolled[0:16, 0:16]
+    def cand(k, _):
+        def body(f, acc):
+            p = plane_ref[b, k, f]
+            r0 = r0_ref[b, k, f]
+            c0 = c0_ref[b, k, f]
+            r8 = pl.multiple_of(jnp.minimum((r0 // 8) * 8, Hp - 32), 8)
+            win = d_ref[0, p, pl.ds(r8, 32), :].astype(jnp.int32)
+            rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
+            return acc + rolled[0:16, 0:16]
 
-    n = nfeat_ref[b, k]
-    acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
-    out_ref[0, 0] = acc
+        n = nfeat_ref[b, k]
+        acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
+        out_ref[0, k] = acc
+        return 0
+
+    jax.lax.fori_loop(0, K, cand, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -123,9 +86,10 @@ def refine_sweep_batched(
     nfeat: jnp.ndarray | None = None,  # [B, K] int32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Batched refine_sweep: grid (B, K) with the frame's planes DMA'd to
-    VMEM once per frame (the k axis iterates fastest, so the [1, P, Hp,
-    Wp] block is reused across all K candidates)."""
+    """Batched refine_sweep: grid (B,) — one step per frame with the
+    frame's planes DMA'd to VMEM once and all K candidates swept inside
+    the kernel. Candidates with ``nfeat == 0`` cost nothing (callers
+    zero the count for invalid top-K slots)."""
     B, K = plane_idx.shape[0], plane_idx.shape[1]
     P, Hp, Wp = d_planes.shape[1:]
     if Hp & (Hp - 1) or Wp & (Wp - 1) or Wp % 128 or Hp < 32:
@@ -137,13 +101,13 @@ def refine_sweep_batched(
         nfeat = jnp.full((B, K), plane_idx.shape[2], jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(B, K),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, P, Hp, Wp), lambda b, k, *_: (b, 0, 0, 0),
+            pl.BlockSpec((1, P, Hp, Wp), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 16, 16), lambda b, k, *_: (b, k, 0, 0), memory_space=pltpu.VMEM
+            (1, K, 16, 16), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(

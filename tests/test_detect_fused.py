@@ -1,0 +1,88 @@
+"""Fused single-call detect() vs the host-orchestrated pipeline.
+
+The fused program (api/detect_program.py) must recover the same poses
+as PoseDetector.detect() — same match candidates, same multi-depth
+lift, point-to-plane ICP with projective instead of brute-force NN
+association (refine/projective.py). Poses agree to millimeters, not
+bit-exactly (documented deviation: association rule differs).
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+import scenes  # noqa: E402
+
+from object_detector_6d_tpu.api.pipeline import PoseDetector
+from object_detector_6d_tpu.core.config import DetectParams, ICPParams
+
+
+def _bgr(gray):
+    return np.repeat(gray[..., None], 3, axis=2)
+
+
+def _make_detector():
+    return PoseDetector(
+        params=DetectParams(
+            match_threshold=70.0,
+            max_hypotheses=4,
+            icp=ICPParams(iterations=60, num_levels=3),
+        )
+    )
+
+
+def _trained():
+    det = _make_detector()
+    K = scenes.K_DEFAULT
+    dep, gray, mask = scenes.snowman_scene()
+    tid = det.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=_bgr(gray))
+    assert tid == 0
+    return det, K, dep, gray, mask
+
+
+def test_fused_matches_host_pipeline():
+    det, K, dep, gray, mask = _trained()
+    t_true = np.array([0.055, -0.022, -0.04])
+    dep2, _, gray2 = scenes.render_translated(dep, mask, K, t_true)
+
+    host = det.detect(dep2, K, rgb=_bgr(gray2))
+    fused = det.detect_fused(dep2, K, rgb=_bgr(gray2))
+    assert host and fused
+    hp, fp = host[0], fused[0]
+    assert fp.class_id == hp.class_id == "obj"
+    # same ground truth within the host test's own tolerance
+    t = fp.pose[:3, 3]
+    assert np.all(np.abs(t - t_true) < 0.01), t
+    ang = np.degrees(
+        np.arccos(np.clip((np.trace(fp.pose[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert ang < 5.0
+    # and close to the host path's refined pose (different association)
+    assert np.all(np.abs(fp.pose[:3, 3] - hp.pose[:3, 3]) < 0.01)
+    assert fp.residual < 5e-3
+
+
+def test_fused_empty_scene():
+    det, K, dep, gray, mask = _trained()
+    flat_dep = np.full((480, 640), 1500, np.uint16)
+    flat_rgb = np.full((480, 640, 3), 128, np.uint8)
+    assert det.detect_fused(flat_dep, K, rgb=flat_rgb) == []
+
+
+def test_fused_batch_two_frames():
+    """Batched fused detect: per-frame results match single-frame calls."""
+    det, K, dep, gray, mask = _trained()
+    t1 = np.array([0.055, -0.022, -0.04])
+    t2 = np.array([-0.03, 0.04, 0.02])
+    d1, _, g1 = scenes.render_translated(dep, mask, K, t1)
+    d2, _, g2 = scenes.render_translated(dep, mask, K, t2)
+    depths = np.stack([d1, d2])
+    rgbs = np.stack([_bgr(g1), _bgr(g2)])
+    out = det.detect_fused_batch(depths, K, rgbs)
+    assert len(out) == 2
+    for poses, t_true in zip(out, (t1, t2)):
+        assert poses, "no detections in batched frame"
+        t = poses[0].pose[:3, 3]
+        assert np.all(np.abs(t - t_true) < 0.01), (t, t_true)

@@ -130,6 +130,91 @@ def render_translated(
     return dm, new_mask, gray
 
 
+def render_posed(
+    depth_u16: np.ndarray,
+    mask: np.ndarray,
+    K: np.ndarray,
+    pose: np.ndarray,  # [4, 4] camera-frame rigid transform (model->scene)
+    bg_mm: int = 1500,
+    fill_holes: bool = True,
+):
+    """Apply a full SE(3) to the masked object and re-render (z-buffer).
+
+    Generalizes render_translated: scene points p' = R p + t for every
+    masked surface point p of the training view. Returns
+    (depth_u16, mask, gray). The returned pose ground truth IS ``pose``
+    (camera-frame model->scene). Rotations stretch the splat, opening
+    pin-holes; ``fill_holes`` closes 1-px holes with a 3x3 neighborhood
+    minimum-depth fill restricted to hole pixels surrounded by splat.
+    """
+    H, W = depth_u16.shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    R, t = np.asarray(pose)[:3, :3], np.asarray(pose)[:3, 3]
+    ys, xs = np.nonzero(mask)
+    z = depth_u16[ys, xs].astype(np.float64) / 1000.0
+    P = np.stack([(xs - cx) / fx * z, (ys - cy) / fy * z, z], -1)
+    Q = P @ R.T + t
+    u = np.round(Q[:, 0] / Q[:, 2] * fx + cx).astype(int)
+    v = np.round(Q[:, 1] / Q[:, 2] * fy + cy).astype(int)
+    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (Q[:, 2] > 0)
+    u, v, Z = u[ok], v[ok], Q[:, 2][ok]
+    xs_ok, ys_ok = xs[ok], ys[ok]
+    depth = np.full((H, W), bg_mm / 1000.0)
+    order = np.argsort(-Z)
+    flat = v[order] * W + u[order]
+    depth.reshape(-1)[flat] = Z[order]
+    new_mask = np.zeros((H, W), bool)
+    new_mask.reshape(-1)[flat] = True
+    checker = ((xs_ok // 16 + ys_ok // 16) % 2).astype(np.uint8)
+    tex = (60 + 140 * checker).astype(np.uint8)
+    gray = np.full((H, W), 128, np.uint8)
+    gray.reshape(-1)[flat] = tex[order]
+    if fill_holes:
+        # hole = non-splat pixel with >= 6 splat neighbors; fill with the
+        # neighborhood's min depth (nearest surface wins) + median texture
+        nb = np.zeros((H, W), np.int32)
+        nd = np.full((H, W), np.inf)
+        ng = np.zeros((H, W), np.float64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sm = np.roll(np.roll(new_mask, dy, 0), dx, 1)
+                sd = np.roll(np.roll(depth, dy, 0), dx, 1)
+                sg = np.roll(np.roll(gray, dy, 0), dx, 1)
+                nb += sm
+                nd = np.where(sm, np.minimum(nd, sd), nd)
+                ng += np.where(sm, sg, 0)
+        hole = (~new_mask) & (nb >= 6)
+        depth = np.where(hole, np.where(np.isfinite(nd), nd, depth), depth)
+        gray = np.where(hole, (ng / np.maximum(nb, 1)).astype(np.uint8), gray)
+        new_mask = new_mask | hole
+    return np.round(depth * 1000).astype(np.uint16), new_mask, gray
+
+
+def rot_about(axis, deg, centroid):
+    """[4, 4] rotation about ``axis`` through ``centroid`` (camera frame)."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    a = np.deg2rad(deg)
+    Kx = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
+                   [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * (Kx @ Kx)
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = np.asarray(centroid) - R @ np.asarray(centroid)
+    return pose
+
+
+def masked_centroid(depth_u16, mask, K):
+    """Camera-frame centroid of the masked surface points."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    ys, xs = np.nonzero(mask)
+    z = depth_u16[ys, xs].astype(np.float64) / 1000.0
+    P = np.stack([(xs - cx) / fx * z, (ys - cy) / fy * z, z], -1)
+    return P.mean(0)
+
+
 def noisy_depth(height: int = 48, width: int = 64, seed: int = 0):
     """Small noisy depth field (near-threshold deltas stress bit parity)."""
     rng = np.random.RandomState(seed)
