@@ -37,7 +37,7 @@ import numpy as np
 
 from object_detector_6d_tpu.core.config import ICPParams
 from object_detector_6d_tpu.match import program as mp
-from object_detector_6d_tpu.refine.projective import projective_icp
+from object_detector_6d_tpu.refine.projective import icp_levels, pack_scene7
 
 
 class PackedViews(NamedTuple):
@@ -157,9 +157,7 @@ def make_detect_program(
         cloud = depth_to_3d(depth_u16, Kj)
         scene6 = jnp.concatenate([cloud, est(cloud)], -1)
         z_img = cloud[..., 2]
-        scene_flat = scene6.reshape(-1, 6)
-        s_valid = jnp.isfinite(scene_flat).all(-1)
-        scene_flat = jnp.nan_to_num(scene_flat)
+        scene7 = pack_scene7(scene6)
 
         # --- multi-depth lift: window depth quantiles per candidate ---
         bw = views.bbox_wh[tids, 0]
@@ -199,46 +197,71 @@ def make_detect_program(
         pose0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K_cap, S, 4, 4))
         pose0 = pose0.at[:, :, :3, 3].set(t0)
 
-        # --- K*S-hypothesis projective ICP ---
+        # --- two-phase projective ICP over the hypothesis lanes ---
+        # Coarse pyramid levels refine every (candidate, depth-seed) lane
+        # on cheap model subsamples; each candidate's best seed is then
+        # selected and only K lanes pay for the expensive fine levels
+        # (the finest level sweeps the full model cloud, ~75% of the
+        # point-iterations).
         models = views.model_bank[tids]  # [K, N, 6]
+        n_model_valid = jnp.maximum(
+            jnp.isfinite(models[..., 0]).sum(-1).astype(jnp.float32), 1.0
+        )  # [K]
+        all_levels = list(range(icp.num_levels - 1, -1, -1))
+        if icp.num_levels >= 3:
+            coarse_levels, fine_levels = all_levels[:-2], all_levels[-2:]
+        else:
+            coarse_levels, fine_levels = all_levels, []
+        iters = max(1, icp.iterations // icp.num_levels)
+        # NOTE tolerance is fixed at the projective default, NOT
+        # icp.tolerance: projective steps are smaller per iteration; the
+        # NN tolerance stops ~25 mm early (refine/projective.py).
+
         flat_models = jnp.broadcast_to(
             models[:, None], (K_cap, S) + models.shape[1:]
         ).reshape(K_cap * S, -1, 6)
         flat_poses = pose0.reshape(K_cap * S, 4, 4)
-
-        res, poses, n_in = jax.vmap(
-            lambda m, p: projective_icp(
-                m, p, scene_flat, s_valid, fx, fy, cx, cy, H, W,
-                iterations=icp.iterations,
-                # NOT icp.tolerance: projective steps are smaller per
-                # iteration; the NN tolerance stops ~25 mm early
-                # (refine/projective.py docstring)
-                tolerance=1e-4,
-                rejection_scale=icp.rejection_scale,
-                num_levels=icp.num_levels,
+        res1, poses1, nin1 = jax.vmap(
+            lambda m, p: icp_levels(
+                m, p, scene7, fx, fy, cx, cy, H, W,
+                levels=coarse_levels, iters_per_level=iters,
             )
         )(flat_models, flat_poses)
-        res = res.reshape(K_cap, S)
-        poses = poses.reshape(K_cap, S, 4, 4)
-        n_in = n_in.reshape(K_cap, S)
+        res1 = res1.reshape(K_cap, S)
+        poses1 = poses1.reshape(K_cap, S, 4, 4)
+        nin1 = nin1.reshape(K_cap, S)
 
-        # --- best seed per candidate by residual ---
-        # a seed is only eligible if its final ICP step kept a sizable
-        # inlier fraction: frozen hypotheses (every correspondence
-        # rejected -> pose unchanged, residual 0/1 = 0) and plane-locked
-        # hypotheses (a few points latched onto the background) otherwise
-        # beat the true pose on raw residual [measured: a q75 background
-        # seed with residual exactly 0.0 won over the correct q50 seed]
-        n_model_valid = jnp.maximum(
-            jnp.isfinite(models[..., 0]).sum(-1).astype(jnp.float32), 1.0
-        )  # [K]
-        enough = n_in >= min_inlier_frac * n_model_valid[:, None]
-        res = jnp.where(seed_ok & enough, res, jnp.inf)
-        best = jnp.argmin(res, axis=1)
-        best_res = jnp.take_along_axis(res, best[:, None], 1)[:, 0]
+        # --- best seed per candidate ---
+        # a seed is only eligible if its last coarse ICP step kept a
+        # sizable inlier fraction (of that level's model subsample):
+        # frozen hypotheses (every correspondence rejected -> pose
+        # unchanged, residual 0/1 = 0) and plane-locked hypotheses (a few
+        # points latched onto the background) otherwise beat the true
+        # pose on raw residual [measured: a q75 background seed with
+        # residual exactly 0.0 won over the correct q50 seed]
+        last_coarse = coarse_levels[-1] if coarse_levels else 0
+        n_coarse = n_model_valid / (1 << last_coarse)
+        enough1 = nin1 >= min_inlier_frac * n_coarse[:, None]
+        res_sel = jnp.where(seed_ok & enough1, res1, jnp.inf)
+        best = jnp.argmin(res_sel, axis=1)
+        best_res = jnp.take_along_axis(res_sel, best[:, None], 1)[:, 0]
         best_pose = jnp.take_along_axis(
-            poses, best[:, None, None, None], 1
+            poses1, best[:, None, None, None], 1
         )[:, 0]
+
+        if fine_levels:
+            res2, poses2, nin2 = jax.vmap(
+                lambda m, p: icp_levels(
+                    m, p, scene7, fx, fy, cx, cy, H, W,
+                    levels=fine_levels, iters_per_level=iters,
+                )
+            )(models, best_pose)
+            enough2 = nin2 >= min_inlier_frac * n_model_valid
+            best_res = jnp.where(
+                jnp.isfinite(best_res) & enough2, res2, jnp.inf
+            )
+            best_pose = poses2
+
         final = jnp.einsum("kij,kjl->kil", best_pose, views.view_poses[tids])
         keep_out = keep & jnp.isfinite(best_res)
         return final, best_res, keep_out

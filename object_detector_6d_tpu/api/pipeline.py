@@ -271,7 +271,7 @@ class PoseDetector:
         poses = np.asarray(poses).reshape(B, K_cap, 4, 4)
         res = np.asarray(res).reshape(B, K_cap)
         keep = np.asarray(keep).reshape(B, K_cap)
-        intr = Intrinsics.from_matrix(np.asarray(K))
+        fx = float(np.asarray(K)[0, 0])  # host scalar (no device round trip)
         results: List[List[Pose]] = []
         for b in range(B):
             if int(packed[b, 0, -1]) > K_cap:
@@ -305,7 +305,7 @@ class PoseDetector:
             self.counters.inc("matches", len(out))
             clusters = cluster_poses(
                 out,
-                translation_threshold=p.nms_radius_px / float(intr.fx) * 1.0,
+                translation_threshold=p.nms_radius_px / fx * 1.0,
             )
             self.counters.inc("detections", len(clusters))
             results.append([c.mean_pose() for c in clusters])

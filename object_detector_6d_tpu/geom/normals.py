@@ -79,7 +79,12 @@ class FalsNormals:
         valid = jnp.isfinite(r) & (r > 0)
         inv_r = jnp.where(valid, 1.0 / jnp.where(valid, r, 1.0), 0.0)
         b = _box_sum(self._rays * inv_r[..., None].astype(jnp.float32), radius)
-        n = jnp.einsum("hwij,hwj->hwi", self._minv, b)
+        # HIGHEST: the default TPU matmul precision truncates operands to
+        # bf16 (8-bit mantissa) on the MXU, which is several degrees of
+        # normal error — poison for the ncos correspondence gate and the
+        # point-to-plane residuals downstream
+        n = jnp.einsum("hwij,hwj->hwi", self._minv, b,
+                       precision=jax.lax.Precision.HIGHEST)
         norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
         n = n / norm
         flip = jnp.sum(n * self._rays, axis=-1, keepdims=True) > 0

@@ -16,7 +16,56 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from object_detector_6d_tpu.core.se3 import SE3
+
+def quat_from_mat(T: np.ndarray) -> np.ndarray:
+    """[4, 4] (or [3, 3]) -> unit quaternion (w, x, y, z), w >= 0.
+
+    Pure numpy (host): pose NMS runs per detection on the host, and each
+    device op through a remote PJRT tunnel costs a ~30-40 ms round trip
+    — routing this through the jnp SE3 helpers made NMS ~10x slower
+    than the whole fused detect program. Same Shepperd construction and
+    conventions as core/se3.py SE3.to_quat.
+    """
+    R = np.asarray(T, np.float64)[:3, :3]
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    if tr > 0:
+        w = np.sqrt(max(0.0, 1.0 + tr)) / 2
+        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
+                      (R[0, 2] - R[2, 0]) / (4 * w),
+                      (R[1, 0] - R[0, 1]) / (4 * w)])
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        x = np.sqrt(max(0.0, 1.0 + R[0, 0] - R[1, 1] - R[2, 2])) / 2
+        q = np.array([(R[2, 1] - R[1, 2]) / (4 * x), x,
+                      (R[0, 1] + R[1, 0]) / (4 * x),
+                      (R[0, 2] + R[2, 0]) / (4 * x)])
+    elif R[1, 1] >= R[2, 2]:
+        y = np.sqrt(max(0.0, 1.0 - R[0, 0] + R[1, 1] - R[2, 2])) / 2
+        q = np.array([(R[0, 2] - R[2, 0]) / (4 * y),
+                      (R[0, 1] + R[1, 0]) / (4 * y), y,
+                      (R[1, 2] + R[2, 1]) / (4 * y)])
+    else:
+        z = np.sqrt(max(0.0, 1.0 - R[0, 0] - R[1, 1] + R[2, 2])) / 2
+        q = np.array([(R[1, 0] - R[0, 1]) / (4 * z),
+                      (R[0, 2] + R[2, 0]) / (4 * z),
+                      (R[1, 2] + R[2, 1]) / (4 * z), z])
+    q = q / np.linalg.norm(q)
+    return -q if q[0] < 0 else q
+
+
+def mat_from_quat(q: np.ndarray, t: Optional[np.ndarray] = None) -> np.ndarray:
+    """Unit quaternion (w, x, y, z) (+ optional t) -> [4, 4] (numpy)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    T = np.eye(4)
+    T[:3, :3] = [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+    if t is not None:
+        T[:3, 3] = t
+    return T
 
 
 @dataclasses.dataclass
@@ -36,7 +85,7 @@ class Pose:
     @property
     def q(self) -> np.ndarray:
         """Unit quaternion (w, x, y, z) of the rotation part."""
-        return np.asarray(SE3.to_quat(self.pose.astype(np.float32)))
+        return quat_from_mat(self.pose)
 
     @property
     def t(self) -> np.ndarray:
@@ -88,7 +137,7 @@ class PoseCluster:
         q_mean = (qs * signs[:, None]).mean(0)
         q_mean /= np.linalg.norm(q_mean)
         t_mean = np.stack([p.t for p in self.poses]).mean(0)
-        T = np.asarray(SE3.from_quat(q_mean.astype(np.float32), t_mean.astype(np.float32)))
+        T = mat_from_quat(q_mean, t_mean)
         rep = self.poses[0]
         return Pose(
             pose=np.asarray(T, np.float64),

@@ -12,20 +12,33 @@ pixel as the correspondence — O(1) gathers instead of an O(M) search,
 which is exactly the organized-frame structure the TPU keeps resident
 anyway.
 
-Everything else matches refine/icp.py step-for-step: MAD outlier
-rejection scaled by ``rejection_scale`` plus an absolute per-level
-correspondence cap, centroid-conjugated point-to-plane normal
-equations (Kok-Lim Low linearization, icp.hpp:77-78), damped 6x6
-solve, SE3.exp retraction, coarse-to-fine model subsampling with
-convergence-masked fixed iteration budgets (icp.hpp:90-98 defaults).
+Correspondence rejection follows FastICPOdometry, not the MAD rule of
+refine/icp.py: a per-level absolute distance cap plus a normal
+compatibility gate (transformed model normal . scene normal > cos 60
+deg). Measured on-chip, the per-iteration median sorts of the MAD rule
+cost little, but the gate needs no model-free robust statistics and is
+the canonical choice for projective association, where gross outliers
+are already excluded by the projection (out-of-frame / invalid pixels).
 
-Used by the fused detect() program (api/detect_program.py) where the
-scene is the organized [H, W, 6] cloud+normal image already on device.
+The solve is the same centroid-conjugated point-to-plane linearization
+(Kok-Lim Low, icp.hpp:77-78) as refine/icp.py, via Cholesky (the
+normal matrix is SPD after Levenberg damping; batched 6x6 LU with
+pivoting costs ~2x more on TPU). Coarse-to-fine model subsampling with
+convergence-masked fixed iteration budgets mirrors icp.hpp:90-98.
+
+Scene layout: ``scene7`` rows are [x, y, z, nx, ny, nz, valid] so one
+gather fetches the correspondence AND its validity.
+
+Used by the fused detect() program (api/detect_program.py), which runs
+the coarse levels over every (candidate, depth-seed) hypothesis, picks
+each candidate's best seed, and spends the expensive fine levels on the
+survivors only.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,48 +46,49 @@ import jax.numpy as jnp
 from object_detector_6d_tpu.core.se3 import SE3
 
 
-def _solve6(A, b):
-    """Damped 6x6 solve (see refine/icp.py:_solve6)."""
+def pack_scene7(scene6_img: jnp.ndarray) -> jnp.ndarray:
+    """Organized [H, W, 6] cloud+normals -> flat [H*W, 7] with validity."""
+    flat = scene6_img.reshape(-1, 6)
+    valid = jnp.isfinite(flat).all(-1, keepdims=True).astype(flat.dtype)
+    return jnp.concatenate([jnp.nan_to_num(flat), valid], -1)
+
+
+def _chol_solve6(A, b):
+    """Damped SPD 6x6 solve via Cholesky."""
     lam = 1e-6 * jnp.trace(A) + 1e-12
-    A = A + lam * jnp.eye(6, dtype=A.dtype)
-    return jnp.linalg.solve(A, b)
+    L = jnp.linalg.cholesky(A + lam * jnp.eye(6, dtype=A.dtype))
+    return jax.scipy.linalg.cho_solve((L, True), b)
 
 
 def _proj_step(
     pose,
     model_pc,  # [n, 6] xyz+normal (finite; masked rows via ``mask``)
     mask,  # [n] bool valid model rows
-    scene_flat,  # [H*W, 6] organized scene, NaNs zeroed
-    s_valid,  # [H*W] bool finite scene rows
-    fx,
-    fy,
-    cx,
-    cy,
-    H,
-    W,
-    rejection_scale,
+    scene7,  # [H*W, 7] packed organized scene (pack_scene7)
+    fx, fy, cx, cy, H, W,
     max_corr_dist,
+    min_normal_cos,
 ):
     """One projective point-to-plane iteration."""
     mp = SE3.apply(pose, model_pc[:, :3])
+    mn = SE3.rotate(pose, model_pc[:, 3:6])
     z = mp[:, 2]
     zs = jnp.where(z > 1e-6, z, 1.0)
     ui = jnp.round(fx * mp[:, 0] / zs + cx).astype(jnp.int32)
     vi = jnp.round(fy * mp[:, 1] / zs + cy).astype(jnp.int32)
     inb = (z > 1e-6) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
     idx = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
-    q6 = jnp.take(scene_flat, idx, axis=0)  # [n, 6]
-    qv = mask & inb & jnp.take(s_valid, idx, axis=0)
-    qp = q6[:, :3]
-    qn = q6[:, 3:6]
+    q = jnp.take(scene7, idx, axis=0)  # [n, 7]
+    qp = q[:, :3]
+    qn = q[:, 3:6]
 
-    d = jnp.linalg.norm(mp - qp, axis=-1)
-    d_nan = jnp.where(qv, d, jnp.nan)
-    med = jnp.nan_to_num(jnp.nanmedian(d_nan))
-    mad = jnp.nan_to_num(jnp.nanmedian(jnp.abs(d_nan - med)))
-    thr = jnp.minimum(med + rejection_scale * jnp.float32(1.4826) * mad,
-                      max_corr_dist)
-    w = (qv & (d <= thr)).astype(jnp.float32)
+    d2 = jnp.sum((mp - qp) ** 2, axis=-1)
+    ncos = jnp.sum(mn * qn, axis=-1)
+    w = (
+        mask & inb & (q[:, 6] > 0)
+        & (d2 <= max_corr_dist * max_corr_dist)
+        & (ncos >= min_normal_cos)
+    ).astype(jnp.float32)
 
     r = jnp.sum((mp - qp) * qn, axis=-1)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
@@ -83,7 +97,7 @@ def _proj_step(
     Jw = J * w[:, None]
     A = jnp.matmul(Jw.T, J, precision=jax.lax.Precision.HIGHEST)
     b = -jnp.matmul(Jw.T, r[:, None], precision=jax.lax.Precision.HIGHEST)[:, 0]
-    x = _solve6(A, b)
+    x = _chol_solve6(A, b)
     dT = SE3.exp(x)
     shift = SE3.from_rt(jnp.eye(3, dtype=pose.dtype), c)
     unshift = SE3.from_rt(jnp.eye(3, dtype=pose.dtype), -c)
@@ -92,64 +106,91 @@ def _proj_step(
     return new_pose, jnp.linalg.norm(x), residual, jnp.sum(w)
 
 
-def projective_icp(
+def icp_levels(
     model_pc,  # [N, 6] (NaN rows = padding)
     pose0,  # [4, 4]
-    scene_flat,  # [H*W, 6] NaNs zeroed
-    s_valid,  # [H*W] bool
-    fx,
-    fy,
-    cx,
-    cy,
+    scene7,  # [H*W, 7] packed scene
+    fx, fy, cx, cy,
     H: int,
     W: int,
-    iterations: int = 100,
+    levels: Sequence[int],  # e.g. (5, 4, 3, 2) coarse->fine strides 2^l
+    iters_per_level: int,
     tolerance: float = 1e-4,
-    rejection_scale: float = 2.5,
-    num_levels: int = 6,
     corr_dist_base: float = 0.015,
+    min_normal_cos: float = 0.5,
 ):
-    """Refine one pose against the organized scene; vmap for batches.
+    """Run the given pyramid levels; returns (residual, pose, n_inliers).
 
-    Returns (residual, pose, n_inliers). ``residual`` is the mean
-    absolute point-to-plane distance of inlier correspondences at the
-    finest level (same convention as refine/icp.py).
-
-    ``tolerance`` is the twist-update-norm early-exit and defaults
-    tighter than the NN ICP's 0.005: projective association takes
-    smaller steps per iteration (the correspondence field only changes
-    when points cross pixel boundaries), so the oracle's tolerance
-    stops it ~25 mm early on lateral axes [measured on the snowman
-    scene: tol=5e-3 -> 26 mm x-error, tol=1e-4 -> 1.3 mm].
+    ``levels`` are model-subsample exponents (stride = 2^level), run in
+    the order given. ``tolerance`` is the twist-update-norm early-exit;
+    it is intentionally tighter than the NN ICP's 0.005: projective
+    association takes smaller steps per iteration (the correspondence
+    field only changes when points cross pixel boundaries), so the
+    oracle's tolerance stops it ~25 mm early on lateral axes [measured
+    on the snowman scene: tol=5e-3 -> 26 mm x-error, tol=1e-4 ->
+    1.3 mm].
     """
     N = model_pc.shape[0]
     tolerance = jnp.float32(tolerance)
-    rejection_scale = jnp.float32(rejection_scale)
     pose = pose0
     residual = jnp.float32(jnp.inf)
     n_in = jnp.float32(0.0)
-    for level in range(num_levels - 1, -1, -1):
+    for level in levels:
         stride = 1 << level
         n_lvl = max(1, N // stride)
         sample = model_pc[::stride][:n_lvl]
         mask = jnp.isfinite(sample[:, :3]).all(-1)
         sample = jnp.nan_to_num(sample)
-        iters = max(1, iterations // num_levels)
         cap = jnp.float32(corr_dist_base) * (1 << level)
 
         def body(carry):
             i, pose, _res, _upd, _nin = carry
             new_pose, upd, res, nin = _proj_step(
-                pose, sample, mask, scene_flat, s_valid,
-                fx, fy, cx, cy, H, W, rejection_scale, cap,
+                pose, sample, mask, scene7,
+                fx, fy, cx, cy, H, W, cap, jnp.float32(min_normal_cos),
             )
             return i + 1, new_pose, res, upd, nin
 
         def cond(carry):
             i, _pose, _res, upd, _nin = carry
-            return (i < iters) & (upd >= tolerance)
+            return (i < iters_per_level) & (upd >= tolerance)
 
         _, pose, residual, _, n_in = jax.lax.while_loop(
             cond, body, (0, pose, residual, jnp.float32(1e9), n_in)
         )
     return residual, pose, n_in
+
+
+def projective_icp(
+    model_pc,
+    pose0,
+    scene_flat,  # [H*W, 6] NaNs zeroed (legacy layout) or [H*W, 7] packed
+    s_valid,  # [H*W] bool (ignored when scene_flat already has 7 cols)
+    fx, fy, cx, cy,
+    H: int,
+    W: int,
+    iterations: int = 100,
+    tolerance: float = 1e-4,
+    rejection_scale: float = 2.5,  # kept for signature parity; unused
+    num_levels: int = 6,
+    corr_dist_base: float = 0.015,
+):
+    """Full coarse-to-fine refinement of one pose; vmap for batches.
+
+    Returns (residual, pose, n_inliers). ``residual`` is the mean
+    absolute point-to-plane distance of inlier correspondences at the
+    finest level (same convention as refine/icp.py).
+    """
+    if scene_flat.shape[-1] == 6:
+        scene7 = jnp.concatenate(
+            [scene_flat, s_valid[:, None].astype(scene_flat.dtype)], -1
+        )
+    else:
+        scene7 = scene_flat
+    return icp_levels(
+        model_pc, pose0, scene7, fx, fy, cx, cy, H, W,
+        levels=tuple(range(num_levels - 1, -1, -1)),
+        iters_per_level=max(1, iterations // num_levels),
+        tolerance=tolerance,
+        corr_dist_base=corr_dist_base,
+    )

@@ -215,6 +215,37 @@ def masked_centroid(depth_u16, mask, K):
     return P.mean(0)
 
 
+def snowman_model(points_per_sphere: int = 12000, seed: int = 0):
+    """Object-frame model cloud [N, 6] (xyz + exact normals, meters).
+
+    Three intersecting spheres (radii 80/45/30 mm, non-collinear
+    centers) — the same asymmetric topology as snowman_scene but as a
+    free-floating closed surface with analytically exact normals, for
+    view-sphere training (api/templates.render_view) and rotation tests.
+    Points inside another sphere are dropped (union surface).
+    """
+    rng = np.random.RandomState(seed)
+    spheres = [
+        (np.array([0.0, 0.0, 0.0]), 0.080),
+        (np.array([0.055, -0.035, 0.020]), 0.045),
+        (np.array([-0.040, 0.050, -0.015]), 0.030),
+    ]
+    pts, nrm = [], []
+    for ci, (c, r) in enumerate(spheres):
+        v = rng.normal(size=(points_per_sphere, 3))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        p = c + r * v
+        keep = np.ones(len(p), bool)
+        for cj, (c2, r2) in enumerate(spheres):
+            if cj != ci:
+                keep &= np.linalg.norm(p - c2, axis=1) >= r2
+        pts.append(p[keep])
+        nrm.append(v[keep])
+    return np.concatenate(
+        [np.concatenate(pts), np.concatenate(nrm)], axis=1
+    ).astype(np.float32)
+
+
 def noisy_depth(height: int = 48, width: int = 64, seed: int = 0):
     """Small noisy depth field (near-threshold deltas stress bit parity)."""
     rng = np.random.RandomState(seed)
