@@ -102,6 +102,7 @@ def make_detect_program(
     seed_min_gap: float = 0.015,
     min_inlier_frac: float = 0.25,
     batch: Optional[int] = None,
+    mesh=None,
 ):
     """Build the fused detect program for one (frame shape, K) pair.
 
@@ -115,6 +116,13 @@ def make_detect_program(
     (leading batch axis on every output when ``batch`` is set). ``poses``
     already compose the template's training-view pose, i.e. they map
     model -> scene camera when view poses were registered.
+
+    With ``mesh`` (a 2D (data, model) jax Mesh, parallel/sharding.py
+    make_mesh) the SAME program shards: frames over ``data``, the
+    template bank over ``model`` in the match stage, and the hypothesis
+    lanes over ``model`` in the ICP stage — requires ``batch`` divisible
+    by the data axis, the bank size and ``max_candidates`` divisible by
+    the model axis. Results are identical to the unsharded program.
     """
     from object_detector_6d_tpu.geom.backproject import depth_to_3d
     from object_detector_6d_tpu.geom.normals import FalsNormals
@@ -141,14 +149,25 @@ def make_detect_program(
         max_dr,
         refine_impl=refine_impl,
         batch=batch,
+        mesh=mesh,
     )
 
     depth_idx = next(
         i for i, n in enumerate(modality_names) if n != "ColorGradient"
     )
 
-    def lift_and_refine(depth_u16, packed, views: PackedViews):
-        """Single frame: [5, K+1] match arrays -> refined poses [K]."""
+    all_levels = list(range((icp.num_levels) - 1, -1, -1))
+    if icp.num_levels >= 3:
+        coarse_levels, fine_levels = all_levels[:-2], all_levels[-2:]
+    else:
+        coarse_levels, fine_levels = all_levels, []
+    iters = max(1, icp.iterations // icp.num_levels)
+    # NOTE ICP tolerance is fixed at the projective default, NOT
+    # icp.tolerance: projective steps are smaller per iteration; the NN
+    # tolerance stops ~25 mm early (refine/projective.py docstring).
+
+    def lift(depth_u16, packed, views: PackedViews):
+        """Single frame: [5, K+1] match arrays -> ICP-ready hypotheses."""
         xs = packed[0, :-1].astype(jnp.int32)
         ys = packed[1, :-1].astype(jnp.int32)
         tids = packed[3, :-1].astype(jnp.int32)
@@ -165,13 +184,22 @@ def make_detect_program(
         cx_i = xs + bw // 2
         cy_i = ys + bh // 2
 
-        def window_q(cxi, cyi):
+        def window_q(cxi, cyi, bwi, bhi):
             x0 = jnp.clip(cxi - win // 2, 0, W - win)
             y0 = jnp.clip(cyi - win // 2, 0, H - win)
             w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))
+            # restrict the quantiles to the matched template's bbox: for
+            # objects much smaller than the window every quantile is
+            # background depth otherwise, and all seeds lift onto the
+            # background plane
+            xs_g = x0 + jnp.arange(win)
+            ys_g = y0 + jnp.arange(win)
+            inx = (xs_g >= cxi - bwi // 2 - 1) & (xs_g <= cxi + bwi // 2 + 1)
+            iny = (ys_g >= cyi - bhi // 2 - 1) & (ys_g <= cyi + bhi // 2 + 1)
+            w = jnp.where(iny[:, None] & inx[None, :], w, jnp.nan)
             return jnp.nanquantile(w, qlevels)
 
-        zq = jax.vmap(window_q)(cx_i, cy_i)  # [K, S]
+        zq = jax.vmap(window_q)(cx_i, cy_i, bw, bh)  # [K, S]
         finite = jnp.isfinite(zq)
         # first-occurrence dedup: seed j invalid if a valid earlier seed
         # sits within seed_min_gap (host path semantics, pipeline.py)
@@ -197,48 +225,32 @@ def make_detect_program(
         pose0 = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K_cap, S, 4, 4))
         pose0 = pose0.at[:, :, :3, 3].set(t0)
 
-        # --- two-phase projective ICP over the hypothesis lanes ---
-        # Coarse pyramid levels refine every (candidate, depth-seed) lane
-        # on cheap model subsamples; each candidate's best seed is then
-        # selected and only K lanes pay for the expensive fine levels
-        # (the finest level sweeps the full model cloud, ~75% of the
-        # point-iterations).
         models = views.model_bank[tids]  # [K, N, 6]
         n_model_valid = jnp.maximum(
             jnp.isfinite(models[..., 0]).sum(-1).astype(jnp.float32), 1.0
         )  # [K]
-        all_levels = list(range(icp.num_levels - 1, -1, -1))
-        if icp.num_levels >= 3:
-            coarse_levels, fine_levels = all_levels[:-2], all_levels[-2:]
-        else:
-            coarse_levels, fine_levels = all_levels, []
-        iters = max(1, icp.iterations // icp.num_levels)
-        # NOTE tolerance is fixed at the projective default, NOT
-        # icp.tolerance: projective steps are smaller per iteration; the
-        # NN tolerance stops ~25 mm early (refine/projective.py).
+        return scene7, tids, keep, seed_ok, pose0, models, n_model_valid
 
-        flat_models = jnp.broadcast_to(
-            models[:, None], (K_cap, S) + models.shape[1:]
-        ).reshape(K_cap * S, -1, 6)
-        flat_poses = pose0.reshape(K_cap * S, 4, 4)
-        res1, poses1, nin1 = jax.vmap(
+    def icp_coarse(scene7, flat_models, flat_poses):
+        """Phase 1: coarse levels over any number of hypothesis lanes."""
+        return jax.vmap(
             lambda m, p: icp_levels(
                 m, p, scene7, fx, fy, cx, cy, H, W,
                 levels=coarse_levels, iters_per_level=iters,
             )
         )(flat_models, flat_poses)
-        res1 = res1.reshape(K_cap, S)
-        poses1 = poses1.reshape(K_cap, S, 4, 4)
-        nin1 = nin1.reshape(K_cap, S)
 
-        # --- best seed per candidate ---
-        # a seed is only eligible if its last coarse ICP step kept a
-        # sizable inlier fraction (of that level's model subsample):
-        # frozen hypotheses (every correspondence rejected -> pose
-        # unchanged, residual 0/1 = 0) and plane-locked hypotheses (a few
-        # points latched onto the background) otherwise beat the true
-        # pose on raw residual [measured: a q75 background seed with
-        # residual exactly 0.0 won over the correct q50 seed]
+    def select_seed(res1, nin1, poses1, seed_ok, n_model_valid):
+        """Best seed per candidate ([K, S] lanes -> [K]).
+
+        A seed is only eligible if its last coarse ICP step kept a
+        sizable inlier fraction (of that level's model subsample):
+        frozen hypotheses (every correspondence rejected -> pose
+        unchanged, residual 0/1 = 0) and plane-locked hypotheses (a few
+        points latched onto the background) otherwise beat the true pose
+        on raw residual [measured: a q75 background seed with residual
+        exactly 0.0 won over the correct q50 seed].
+        """
         last_coarse = coarse_levels[-1] if coarse_levels else 0
         n_coarse = n_model_valid / (1 << last_coarse)
         enough1 = nin1 >= min_inlier_frac * n_coarse[:, None]
@@ -248,23 +260,129 @@ def make_detect_program(
         best_pose = jnp.take_along_axis(
             poses1, best[:, None, None, None], 1
         )[:, 0]
+        return best_res, best_pose
 
+    def icp_fine(scene7, models, poses):
+        """Phase 2: the two finest levels (full model cloud)."""
+        return jax.vmap(
+            lambda m, p: icp_levels(
+                m, p, scene7, fx, fy, cx, cy, H, W,
+                levels=fine_levels, iters_per_level=iters,
+            )
+        )(models, poses)
+
+    def lift_and_refine(depth_u16, packed, views: PackedViews):
+        """Single frame: [5, K+1] match arrays -> refined poses [K].
+
+        Two-phase ICP: coarse pyramid levels refine every (candidate,
+        depth-seed) lane on cheap model subsamples; each candidate's
+        best seed is then selected and only K lanes pay for the
+        expensive fine levels (the finest level sweeps the full model
+        cloud, ~75% of the point-iterations)."""
+        scene7, tids, keep, seed_ok, pose0, models, n_model_valid = lift(
+            depth_u16, packed, views
+        )
+        flat_models = jnp.broadcast_to(
+            models[:, None], (K_cap, S) + models.shape[1:]
+        ).reshape(K_cap * S, -1, 6)
+        flat_poses = pose0.reshape(K_cap * S, 4, 4)
+        res1, poses1, nin1 = icp_coarse(scene7, flat_models, flat_poses)
+        best_res, best_pose = select_seed(
+            res1.reshape(K_cap, S), nin1.reshape(K_cap, S),
+            poses1.reshape(K_cap, S, 4, 4), seed_ok, n_model_valid,
+        )
         if fine_levels:
-            res2, poses2, nin2 = jax.vmap(
-                lambda m, p: icp_levels(
-                    m, p, scene7, fx, fy, cx, cy, H, W,
-                    levels=fine_levels, iters_per_level=iters,
-                )
-            )(models, best_pose)
+            res2, poses2, nin2 = icp_fine(scene7, models, best_pose)
             enough2 = nin2 >= min_inlier_frac * n_model_valid
             best_res = jnp.where(
                 jnp.isfinite(best_res) & enough2, res2, jnp.inf
             )
             best_pose = poses2
-
         final = jnp.einsum("kij,kjl->kil", best_pose, views.view_poses[tids])
         keep_out = keep & jnp.isfinite(best_res)
         return final, best_res, keep_out
+
+    def lift_and_refine_sharded(depth_u16, packed, views: PackedViews):
+        """Per-device variant: this device refines only its slice of the
+        hypothesis lanes (the SP-analog axis of SURVEY.md section 2.3 —
+        hypotheses shard over ``model``); two small all_gathers merge the
+        per-seed and final results. Runs on each (data, model) device for
+        its local frames; the lift itself is recomputed per device
+        (cheaper than communicating an [H*W, 7] scene)."""
+        tp = mesh.shape["model"]
+        mi = jax.lax.axis_index("model")
+        scene7, tids, keep, seed_ok, pose0, models, n_model_valid = lift(
+            depth_u16, packed, views
+        )
+        lanes1 = (K_cap * S) // tp
+        flat_models = jnp.broadcast_to(
+            models[:, None], (K_cap, S) + models.shape[1:]
+        ).reshape(K_cap * S, -1, 6)
+        flat_poses = pose0.reshape(K_cap * S, 4, 4)
+        m_l = jax.lax.dynamic_slice_in_dim(flat_models, mi * lanes1, lanes1)
+        p_l = jax.lax.dynamic_slice_in_dim(flat_poses, mi * lanes1, lanes1)
+        res1, poses1, nin1 = icp_coarse(scene7, m_l, p_l)
+        res1 = jax.lax.all_gather(res1, "model", axis=0, tiled=True)
+        poses1 = jax.lax.all_gather(poses1, "model", axis=0, tiled=True)
+        nin1 = jax.lax.all_gather(nin1, "model", axis=0, tiled=True)
+        best_res, best_pose = select_seed(
+            res1.reshape(K_cap, S), nin1.reshape(K_cap, S),
+            poses1.reshape(K_cap, S, 4, 4), seed_ok, n_model_valid,
+        )
+        if fine_levels:
+            lanes2 = K_cap // tp
+            m_l = jax.lax.dynamic_slice_in_dim(models, mi * lanes2, lanes2)
+            p_l = jax.lax.dynamic_slice_in_dim(best_pose, mi * lanes2, lanes2)
+            res2, poses2, nin2 = icp_fine(scene7, m_l, p_l)
+            res2 = jax.lax.all_gather(res2, "model", axis=0, tiled=True)
+            poses2 = jax.lax.all_gather(poses2, "model", axis=0, tiled=True)
+            nin2 = jax.lax.all_gather(nin2, "model", axis=0, tiled=True)
+            enough2 = nin2 >= min_inlier_frac * n_model_valid
+            best_res = jnp.where(
+                jnp.isfinite(best_res) & enough2, res2, jnp.inf
+            )
+            best_pose = poses2
+        final = jnp.einsum("kij,kjl->kil", best_pose, views.view_poses[tids])
+        keep_out = keep & jnp.isfinite(best_res)
+        return final, best_res, keep_out
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        tp = mesh.shape["model"]
+        if (K_cap * S) % tp or K_cap % tp:
+            raise ValueError(
+                f"max_candidates ({K_cap}) and max_candidates*num_seeds "
+                f"({K_cap * S}) must divide the model axis ({tp})"
+            )
+
+        refine_sharded = shard_map(
+            lambda depths, packed, views: jax.vmap(
+                lambda d, p: lift_and_refine_sharded(d, p, views)
+            )(depths, packed),
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data"), P("data")),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run_sharded(
+            sources, kernels_low, kernels_dec, feat_arrays,
+            nfeat_l0, nfeat_l1, sizes_l0, sizes_l1,
+            views: PackedViews, threshold,
+        ):
+            packed = match_prog(
+                sources, kernels_low, kernels_dec, feat_arrays,
+                nfeat_l0, nfeat_l1, sizes_l0, sizes_l1, threshold,
+            )
+            poses, res, keep = refine_sharded(
+                sources[depth_idx], packed, views
+            )
+            return packed, poses, res, keep
+
+        return run_sharded
 
     @jax.jit
     def run(

@@ -73,22 +73,30 @@ def _geometry_single(k_bytes: bytes, shape):
 @functools.lru_cache(maxsize=4)
 def _window_quantiles_fn(win: int, shape):
     """NaN-aware depth quantiles (q25/q50/q75) of fixed windows around
-    given centers (device). Multiple depth seeds make the hypothesis
-    lift robust to occluders inside the match window (config 3)."""
+    given centers, restricted to the match bbox (device). Multiple depth
+    seeds make the hypothesis lift robust to occluders inside the match
+    window (config 3); the bbox restriction keeps the quantiles on the
+    object for objects much smaller than the window (otherwise every
+    seed lifts onto background depth)."""
     import jax
 
     H, W = shape
     qs = jnp.asarray([0.25, 0.5, 0.75])
 
     @jax.jit
-    def run(z_img, centers):
-        def one(c):
+    def run(z_img, centers, bboxes_wh):
+        def one(c, wh):
             x0 = jnp.clip(c[0] - win // 2, 0, W - win)
             y0 = jnp.clip(c[1] - win // 2, 0, H - win)
             w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))
+            xs_g = x0 + jnp.arange(win)
+            ys_g = y0 + jnp.arange(win)
+            inx = (xs_g >= c[0] - wh[0] // 2 - 1) & (xs_g <= c[0] + wh[0] // 2 + 1)
+            iny = (ys_g >= c[1] - wh[1] // 2 - 1) & (ys_g <= c[1] + wh[1] // 2 + 1)
+            w = jnp.where(iny[:, None] & inx[None, :], w, jnp.nan)
             return jnp.nanquantile(w, qs)
 
-        return jax.vmap(one)(centers)
+        return jax.vmap(one)(centers, bboxes_wh)
 
     return run
 
@@ -345,6 +353,7 @@ class PoseDetector:
         # --- lift hypotheses (window depth medians computed on device) ---
         pre = []
         centers = []
+        whs = []
         for m in matches:
             rec = self.views.get((m.class_id, m.template_id))
             if rec is None:
@@ -352,11 +361,13 @@ class PoseDetector:
             bw, bh = rec.bbox[2], rec.bbox[3]
             pre.append((m, rec))
             centers.append((int(m.x + bw // 2), int(m.y + bh // 2)))
+            whs.append((bw, bh))
         if not pre:
             return []
         q_fn = _window_quantiles_fn(self.scene_window, (H, W))
         zqs = np.asarray(
-            q_fn(scene6[..., 2], jnp.asarray(np.asarray(centers, np.int32)))
+            q_fn(scene6[..., 2], jnp.asarray(np.asarray(centers, np.int32)),
+                 jnp.asarray(np.asarray(whs, np.int32)))
         )
         # multi-depth lift: one hypothesis per distinct depth quantile
         # (occluders in the window skew any single statistic — config 3)

@@ -65,9 +65,17 @@ class PackedBank:
 
 def pack_bank(
     class_templates: Dict[str, list], num_mod: int, levels: int, t0: int = 5,
-    t1: int = 8,
+    t1: int = 8, pad_to: int = 1,
 ) -> PackedBank:
-    """Concatenate every class's template pyramids into one bank."""
+    """Concatenate every class's template pyramids into one bank.
+
+    ``pad_to``: round the bank size up to a multiple (for template-axis
+    sharding over a mesh). Padding templates have zero features, so
+    their raw coarse score is 0 and the strict > threshold rule
+    (raw_thr >= 0) means they can never become candidates.
+    """
+    from object_detector_6d_tpu.quant.features import Template
+
     class_ids: List[str] = []
     local_tids: List[int] = []
     all_tps = []
@@ -76,6 +84,12 @@ def pack_bank(
             class_ids.append(cid)
             local_tids.append(i)
             all_tps.append(tp)
+    while pad_to > 1 and len(all_tps) % pad_to:
+        class_ids.append("")
+        local_tids.append(-1)
+        all_tps.append(
+            [Template(0, 0, lvl, []) for lvl in range(levels) for _ in range(num_mod)]
+        )
     nT = len(all_tps)
     nfeat: List[np.ndarray] = []
     sizes: List[np.ndarray] = []
@@ -192,6 +206,7 @@ def make_match_program(
     max_dr: int = 64,
     refine_impl: str = "conv",
     batch: int | None = None,
+    mesh=None,
 ):
     """Build the fused per-frame matcher.
 
@@ -295,7 +310,7 @@ def make_match_program(
         rc = top_idx % (gh * gw)
         xs = (rc % gw) * t1 + off1
         ys = (rc // gw) * t1 + off1
-        return R0, tids, valid, n_above, xs, ys
+        return R0, tids, valid, n_above, xs, ys, top_vals
 
     def anchors_stage(tids, xs, ys, sizes_l0):
         border = 8 * t0
@@ -340,7 +355,11 @@ def make_match_program(
             total16 = total16 + s16
         return total16
 
-    def post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0, threshold):
+    def post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0, threshold,
+                   raw_vals, tid_offset):
+        """Pack results. Row 5 carries the raw coarse score so a sharded
+        caller can re-merge local top-Ks by the same criterion the
+        single-device top_k used; unsharded callers drop it."""
         nf0 = nfeat_l0[tids].astype(jnp.float32)
         pct16 = total16 * jnp.float32(100.0) / (jnp.float32(4.0) * nf0[:, None, None])
         best_flat = jnp.argmax(pct16.reshape(K_cap, -1), axis=1)
@@ -357,16 +376,16 @@ def make_match_program(
                 nx.astype(jnp.float32),
                 ny.astype(jnp.float32),
                 best,
-                tids.astype(jnp.float32),
+                (tids + tid_offset).astype(jnp.float32),
                 keep.astype(jnp.float32),
+                raw_vals.astype(jnp.float32),
             ],
             axis=0,
-        )  # [5, K]
-        n_col = jnp.full((5, 1), n_above.astype(jnp.float32))
-        return jnp.concatenate([packed, n_col], axis=1)  # [5, K+1]
+        )  # [6, K]
+        n_col = jnp.full((6, 1), n_above.astype(jnp.float32))
+        return jnp.concatenate([packed, n_col], axis=1)  # [6, K+1]
 
-    @jax.jit
-    def run(
+    def core(
         sources,
         kernels_low,
         kernels_dec,
@@ -376,8 +395,13 @@ def make_match_program(
         sizes_l0,
         sizes_l1,
         threshold,
+        tid_offset=0,
     ):
-        R0, tids, valid, n_above, xs, ys = coarse_stage(
+        """Single frame, full pipeline -> [6, K+1] (row 5 = raw score).
+
+        All bank inputs may be a template-axis SHARD; ``tid_offset``
+        relabels output template ids to global ids."""
+        R0, tids, valid, n_above, xs, ys, raw_vals = coarse_stage(
             sources, kernels_low, nfeat_l1, sizes_l1, threshold
         )
         x2, y2, base_c, base_r = anchors_stage(tids, xs, ys, sizes_l0)
@@ -398,53 +422,127 @@ def make_match_program(
                 )
         else:
             total16 = refine_conv(R0, kernels_dec, tids, base_r, base_c)
-        return post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0, threshold)
+        return post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0,
+                          threshold, raw_vals, tid_offset)
 
-    if batch is None:
-        return run
+    def core_batched(sources, *args, **kw):
+        """vmap of core over the frame axis, Pallas-aware (the refine
+        kernel must see the whole frame batch in ONE pallas_call; a
+        vmapped pallas_call is unsupported on TPU)."""
+        if refine_impl != "pallas":
+            return jax.vmap(lambda s: core(s, *args, **kw))(sources)
+        kernels_low, kernels_dec, feat_arrays = args[0], args[1], args[2]
+        nfeat_l0, nfeat_l1, sizes_l0, sizes_l1, threshold = args[3:8]
+        tid_offset = kw.get("tid_offset", 0)
+        from object_detector_6d_tpu.ops.refine_pallas import refine_sweep_batched
 
-    @jax.jit
-    def run_batched(
-        sources,
-        kernels_low,
-        kernels_dec,
-        feat_arrays,
-        nfeat_l0,
-        nfeat_l1,
-        sizes_l0,
-        sizes_l1,
-        threshold,
-    ):
         pre = jax.vmap(
             lambda s: coarse_stage(s, kernels_low, nfeat_l1, sizes_l1, threshold)
         )(sources)
-        R0_b, tids_b, valid_b, n_above_b, xs_b, ys_b = pre
+        R0_b, tids_b, valid_b, n_above_b, xs_b, ys_b, raw_b = pre
         x2_b, y2_b, base_c_b, base_r_b = jax.vmap(
             lambda t, x, y: anchors_stage(t, x, y, sizes_l0)
         )(tids_b, xs_b, ys_b)
-        if refine_impl == "pallas":
-            from object_detector_6d_tpu.ops.refine_pallas import refine_sweep_batched
-
-            feat_plane, feat_dr, feat_dc, feat_n = feat_arrays
-            total16 = jnp.zeros((batch, K_cap, 16, 16), jnp.float32)
-            for mod in range(num_mod):
-                D_b = jax.vmap(lambda R: build_D(R, jnp.int8))(R0_b[mod])
-                plane = feat_plane[mod][tids_b]
-                r0i = base_r_b[:, :, None] + feat_dr[mod][tids_b]
-                c0i = base_c_b[:, :, None] + feat_dc[mod][tids_b]
-                # invalid top-K slots sweep zero features (kernel skips them)
-                nfe = jnp.where(valid_b, feat_n[mod][tids_b], 0)
-                total16 = total16 + refine_sweep_batched(
-                    D_b, plane, r0i, c0i, nfe
-                ).astype(jnp.float32)
-        else:
-            total16 = jax.vmap(
-                lambda R0s, t, br, bc: refine_conv(R0s, kernels_dec, t, br, bc)
-            )(R0_b, tids_b, base_r_b, base_c_b)
+        B = tids_b.shape[0]
+        feat_plane, feat_dr, feat_dc, feat_n = feat_arrays
+        total16 = jnp.zeros((B, K_cap, 16, 16), jnp.float32)
+        for mod in range(num_mod):
+            D_b = jax.vmap(lambda R: build_D(R, jnp.int8))(R0_b[mod])
+            plane = feat_plane[mod][tids_b]
+            r0i = base_r_b[:, :, None] + feat_dr[mod][tids_b]
+            c0i = base_c_b[:, :, None] + feat_dc[mod][tids_b]
+            # invalid top-K slots sweep zero features (kernel skips them)
+            nfe = jnp.where(valid_b, feat_n[mod][tids_b], 0)
+            total16 = total16 + refine_sweep_batched(
+                D_b, plane, r0i, c0i, nfe
+            ).astype(jnp.float32)
         return jax.vmap(
-            lambda t16, t, v, na, x2, y2: post_stage(
-                t16, t, v, na, x2, y2, nfeat_l0, threshold
+            lambda t16, t, v, na, x2, y2, rv: post_stage(
+                t16, t, v, na, x2, y2, nfeat_l0, threshold, rv, tid_offset
             )
-        )(total16, tids_b, valid_b, n_above_b, x2_b, y2_b)
+        )(total16, tids_b, valid_b, n_above_b, x2_b, y2_b, raw_b)
+
+    if mesh is not None:
+        return _sharded_run(mesh, core_batched, K_cap, batch)
+
+    if batch is None:
+        @jax.jit
+        def run(*args):
+            return core(*args)[:5]
+        return run
+
+    @jax.jit
+    def run_batched(sources, *args):
+        return core_batched(sources, *args)[:, :5]
 
     return run_batched
+
+
+def merge_shard_candidates(packed_all: jnp.ndarray, K_cap: int) -> jnp.ndarray:
+    """Merge model-axis candidate shards: [tp, 6, K+1] -> [6, K+1].
+
+    Selects the global top-K by raw coarse score (row 5) — the same
+    criterion the single-device program's flat top_k used, and in the
+    same tie order (shards are concatenated in global-template order, so
+    the stable top_k prefers lower template ids on ties exactly like the
+    flat single-device scan). ``n_above`` (the overflow count in the
+    last column) sums across shards.
+    """
+    tp = packed_all.shape[0]
+    cands = packed_all[:, :, :-1].transpose(1, 0, 2).reshape(6, tp * K_cap)
+    # rank by raw score (row 5, -1 for empty slots) — NOT by the keep
+    # flag: slots that were valid coarse candidates but failed
+    # refinement must still occupy top-K slots exactly as on a single
+    # device
+    _, sel = jax.lax.top_k(cands[5], K_cap)
+    merged = jnp.take_along_axis(cands, sel[None, :].repeat(6, 0), axis=1)
+    n_above = jnp.sum(packed_all[:, 0, -1])
+    return jnp.concatenate([merged, jnp.full((6, 1), n_above)], axis=1)
+
+
+def _sharded_run(mesh, core_batched, K_cap, batch):
+    """shard_map the fused program: frames over ``data``, templates over
+    ``model``; each device runs the full local pipeline on its (frame
+    shard x template shard), then candidates merge across the model axis
+    (one all_gather — the only coarse-path collective)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    dp = mesh.shape["data"]
+    tp = mesh.shape["model"]
+    if batch is None or batch % dp:
+        raise ValueError(f"sharded program needs batch divisible by data axis "
+                         f"({batch} vs {dp})")
+
+    def local(sources, kernels_low, kernels_dec, feat_arrays,
+              nfeat_l0, nfeat_l1, sizes_l0, sizes_l1, threshold):
+        shard = jax.lax.axis_index("model")
+        n_local = nfeat_l0.shape[0]
+        packed_l = core_batched(
+            sources, kernels_low, kernels_dec, feat_arrays,
+            nfeat_l0, nfeat_l1, sizes_l0, sizes_l1, threshold,
+            tid_offset=shard * n_local,
+        )  # [Bl, 6, K+1]
+        packed_all = jax.lax.all_gather(packed_l, "model")  # [tp, Bl, 6, K+1]
+        return jax.vmap(
+            lambda pa: merge_shard_candidates(pa, K_cap),
+            in_axes=1,
+        )(packed_all)  # [Bl, 6, K+1]
+
+    sharded = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data"),  # sources (pytree leaves share the frame axis)
+            P("model"), P("model"), P("model"),
+            P("model"), P("model"), P("model"), P("model"), P(),
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(sources, *args):
+        return sharded(sources, *args)[:, :5]
+
+    return run
