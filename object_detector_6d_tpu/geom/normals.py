@@ -107,6 +107,73 @@ def normals_fals(points, K, window_size: int = 5) -> jnp.ndarray:
     return _cached_fals(H, W, k_bytes, window_size)(points)
 
 
+@functools.partial(jax.jit, static_argnames=("difference_threshold",))
+def _normals_linemod_impl(depth_u16, fx, fy, cx, cy, difference_threshold):
+    from object_detector_6d_tpu.quant.depth_normal import (
+        interior_mask,
+        ring_gradient,
+    )
+
+    d = depth_u16.astype(jnp.int32)
+    H, W = d.shape
+    ddx, ddy, det = ring_gradient(d, difference_threshold, inclusive=True)
+    detf = det.astype(jnp.float32)
+    zero = det == 0
+    gu = ddx.astype(jnp.float32) / jnp.where(zero, 1.0, detf)
+    gv = ddy.astype(jnp.float32) / jnp.where(zero, 1.0, detf)
+    u, v = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    nx = fx * gu
+    ny = fy * gv
+    # the +1 pixel offsets are the oracle's (measured exactly on ramps:
+    # u+1-cx / v+1-cy reproduce its values to the printed f32 digit;
+    # u-cx is ~0.05 deg off)
+    nz = -(
+        (u.astype(jnp.float32) + 1.0 - cx) * gu
+        + (v.astype(jnp.float32) + 1.0 - cy) * gv
+        + d.astype(jnp.float32)
+    )
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv = 1.0 / jnp.where(norm > 0, norm, 1.0)
+    n = jnp.stack([nx * inv, ny * inv, nz * inv], -1)
+    # orient toward the camera (flat surface -> (0, 0, -1))
+    n = jnp.where(n[..., 2:3] > 0, -n, n)
+    # all ring samples rejected (isolated pixels) or zero depth -> NaN,
+    # like the oracle's hole pixels (d == 0 is NaN even when the whole
+    # ring is also zero and the gradient is formally defined); outside
+    # the interior ring margin -> (0, 0, 0)
+    n = jnp.where((zero | (d == 0))[..., None], jnp.nan, n)
+    return jnp.where(interior_mask(H, W)[..., None], n, 0.0)
+
+
+def normals_linemod(depth_u16, K, difference_threshold: int = 50) -> jnp.ndarray:
+    """RgbdNormals LINEMOD method: real-valued normals from RAW u16 depth.
+
+    The third of the oracle's three estimators (depth.hpp:112,
+    RGBD_NORMALS_METHOD_LINEMOD; feed it raw CV_16U — the oracle
+    segfaults on points input). Reverse-engineered black-box [measured]:
+
+    * depth gradient (z_u, z_v) from the same bilateral-masked r=5 ring
+      least squares as the DepthNormal quantizer (difference_threshold
+      50, window_size has NO effect — verified ws in {1,3,5,7});
+    * normal = normalize(fx*z_u, fy*z_v, -((u+1-cx)z_u + (v+1-cy)z_v + z))
+      — the exact differential surface normal of z(u, v), camera-facing;
+    * ring-margin borders return (0,0,0); pixels whose every ring sample
+      is bilateral-rejected (depth holes) return NaN; no distance
+      cutoff (2500 mm and 50 m inputs measured valid).
+
+    Parity: exact on single-axis ramps; <=0.1 deg on mixed gradients
+    (tests/test_geom.py golden).
+    """
+    depth_u16 = jnp.asarray(depth_u16)
+    K = np.asarray(K, np.float64)
+    return _normals_linemod_impl(
+        depth_u16,
+        jnp.float32(K[0, 0]), jnp.float32(K[1, 1]),
+        jnp.float32(K[0, 2]), jnp.float32(K[1, 2]),
+        difference_threshold,
+    )
+
+
 @jax.jit
 def normals_cross(points: jnp.ndarray) -> jnp.ndarray:
     """Cheap central-difference cross-product normals [H, W, 3].

@@ -5,7 +5,7 @@ algorithm — Hinterstoisser et al., "Gradient Response Maps for Real-Time
 Detection of Texture-Less Objects"), reconstructed this session by
 reverse-engineering the canonical compiled implementation
 (libopencv_rgbd.so.4.6.0) and verified bit-exact against it via black-box
-differential tests (see tests/test_depth_normal.py, tests/test_response.py).
+differential tests (see tests/test_depth_normal.py, tests/test_match.py).
 
 * ``NORMAL_LUT_2D`` — 20x20 map from a quantized surface-normal direction
   (vy, vx) = (int(ny*10+10), int(nx*10+10)) to a one-hot orientation byte

@@ -118,6 +118,43 @@ class PPFDetector:
         self._vals_i = idx_i[order].astype(np.int32)
         self._vals_alpha = alphas[order].astype(np.float32)
 
+    def write(self, path: str) -> None:
+        """Serialize the trained detector (PPF3DDetector::write,
+        ppf_match_3d.hpp:144). The canonical library DECLARES read/write
+        but never implements them (no symbols in
+        libopencv_surface_matching.so.4.6.0 — linking fails [measured]),
+        so there is no oracle format to match; we store the trained
+        state as npz, which round-trips exactly."""
+        if self._keys_sorted is None:
+            raise ValueError("detector is untrained; nothing to write")
+        np.savez_compressed(
+            path,
+            relative_sampling_step=self.relative_sampling_step,
+            relative_distance_step=self.relative_distance_step,
+            num_angles=self.num_angles,
+            model_sampled=self.model_sampled,
+            model_diameter=self.model_diameter,
+            keys_sorted=self._keys_sorted,
+            vals_i=self._vals_i,
+            vals_alpha=self._vals_alpha,
+        )
+
+    @classmethod
+    def read(cls, path: str) -> "PPFDetector":
+        """Load a detector written by :meth:`write` (trained state)."""
+        g = np.load(path)
+        det = cls(
+            relative_sampling_step=float(g["relative_sampling_step"]),
+            relative_distance_step=float(g["relative_distance_step"]),
+            num_angles=int(g["num_angles"]),
+        )
+        det.model_sampled = g["model_sampled"]
+        det.model_diameter = float(g["model_diameter"])
+        det._keys_sorted = g["keys_sorted"]
+        det._vals_i = g["vals_i"]
+        det._vals_alpha = g["vals_alpha"]
+        return det
+
     def match(
         self,
         scene_pc: np.ndarray,

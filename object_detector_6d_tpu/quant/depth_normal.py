@@ -50,6 +50,51 @@ def _shift(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
     return p[pad_y[1] : pad_y[1] + H, pad_x[1] : pad_x[1] + W]
 
 
+def ring_gradient(d: jnp.ndarray, difference_threshold: int,
+                  inclusive: bool = False):
+    """Bilateral-masked ring least-squares depth gradient (the oracle's
+    8 accumBilateral calls). ``d`` int32 [H, W] raw depth. Returns
+    (ddx, ddy, det) int32 — the un-divided LS solution: the gradient is
+    (ddx/det, ddy/det). Shared by the DepthNormal quantizer (strict
+    ``|delta| < threshold``, bit-exact vs linemod.cpp) and the
+    real-valued RgbdNormals LINEMOD method (geom/normals.py —
+    normal.cpp accepts ``|delta| <= threshold``; measured: a 50 mm step
+    moves its normals, a 51 mm step does not, while the quantizer's
+    cutoff is at 49/50)."""
+    A0 = jnp.zeros_like(d)
+    A1 = jnp.zeros_like(d)
+    A3 = jnp.zeros_like(d)
+    b0 = jnp.zeros_like(d)
+    b1 = jnp.zeros_like(d)
+    for dx, dy in _RING:
+        delta = _shift(d, dx, dy) - d
+        ok = (jnp.abs(delta) <= difference_threshold if inclusive
+              else jnp.abs(delta) < difference_threshold)
+        f = ok.astype(jnp.int32)
+        A0 = A0 + f * (dx * dx)
+        A1 = A1 + f * (dx * dy)
+        A3 = A3 + f * (dy * dy)
+        b0 = b0 + f * dx * delta
+        b1 = b1 + f * dy * delta
+
+    det = A0 * A3 - A1 * A1
+    ddx = A3 * b0 - A1 * b1
+    ddy = -A1 * b0 + A0 * b1
+    return ddx, ddy, det
+
+
+def interior_mask(H: int, W: int):
+    """The oracle's valid interior: ring radius in from every border
+    (note the asymmetric -1 on the far edges, measured)."""
+    u, v = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    return (
+        (v >= _RING_RADIUS)
+        & (v < H - _RING_RADIUS - 1)
+        & (u >= _RING_RADIUS)
+        & (u < W - _RING_RADIUS - 1)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("distance_threshold", "difference_threshold"))
 def quantized_normals(
     depth_u16: jnp.ndarray,
@@ -63,24 +108,7 @@ def quantized_normals(
     """
     d = depth_u16.astype(jnp.int32)
     H, W = d.shape
-
-    A0 = jnp.zeros_like(d)
-    A1 = jnp.zeros_like(d)
-    A3 = jnp.zeros_like(d)
-    b0 = jnp.zeros_like(d)
-    b1 = jnp.zeros_like(d)
-    for dx, dy in _RING:
-        delta = _shift(d, dx, dy) - d
-        f = (jnp.abs(delta) < difference_threshold).astype(jnp.int32)
-        A0 = A0 + f * (dx * dx)
-        A1 = A1 + f * (dx * dy)
-        A3 = A3 + f * (dy * dy)
-        b0 = b0 + f * dx * delta
-        b1 = b1 + f * dy * delta
-
-    det = A0 * A3 - A1 * A1
-    ddx = A3 * b0 - A1 * b1
-    ddy = -A1 * b0 + A0 * b1
+    ddx, ddy, det = ring_gradient(d, difference_threshold)
 
     nx = (1150 * ddx).astype(jnp.float32)
     ny = (1150 * ddy).astype(jnp.float32)
@@ -114,14 +142,7 @@ def quantized_normals(
     bins = jnp.where(horiz, bin_h, jnp.where(vert, bin_v, bin_d))
     q = (jnp.int32(1) << bins).astype(jnp.uint8)
 
-    u, v = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
-    interior = (
-        (v >= _RING_RADIUS)
-        & (v < H - _RING_RADIUS - 1)
-        & (u >= _RING_RADIUS)
-        & (u < W - _RING_RADIUS - 1)
-    )
-    valid = interior & (d < distance_threshold) & (norm > 0)
+    valid = interior_mask(H, W) & (d < distance_threshold) & (norm > 0)
     q = jnp.where(valid, q, 0).astype(jnp.uint8)
 
     return median5_onehot_u8(q)

@@ -28,27 +28,36 @@ def quat_from_mat(T: np.ndarray) -> np.ndarray:
     """
     R = np.asarray(T, np.float64)[:3, :3]
     tr = R[0, 0] + R[1, 1] + R[2, 2]
+    # multiply by the reciprocal, don't divide: the oracle's dcmToQuat
+    # precomputes 1/(4w) and the write_pose byte-parity test catches the
+    # 1-ulp difference between x/(4w) and x*(1/(4w))
     if tr > 0:
         w = np.sqrt(max(0.0, 1.0 + tr)) / 2
-        q = np.array([w, (R[2, 1] - R[1, 2]) / (4 * w),
-                      (R[0, 2] - R[2, 0]) / (4 * w),
-                      (R[1, 0] - R[0, 1]) / (4 * w)])
+        s = 1.0 / (4 * w)
+        q = np.array([w, (R[2, 1] - R[1, 2]) * s,
+                      (R[0, 2] - R[2, 0]) * s,
+                      (R[1, 0] - R[0, 1]) * s])
     elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
         x = np.sqrt(max(0.0, 1.0 + R[0, 0] - R[1, 1] - R[2, 2])) / 2
-        q = np.array([(R[2, 1] - R[1, 2]) / (4 * x), x,
-                      (R[0, 1] + R[1, 0]) / (4 * x),
-                      (R[0, 2] + R[2, 0]) / (4 * x)])
+        s = 1.0 / (4 * x)
+        q = np.array([(R[2, 1] - R[1, 2]) * s, x,
+                      (R[0, 1] + R[1, 0]) * s,
+                      (R[0, 2] + R[2, 0]) * s])
     elif R[1, 1] >= R[2, 2]:
         y = np.sqrt(max(0.0, 1.0 - R[0, 0] + R[1, 1] - R[2, 2])) / 2
-        q = np.array([(R[0, 2] - R[2, 0]) / (4 * y),
-                      (R[0, 1] + R[1, 0]) / (4 * y), y,
-                      (R[1, 2] + R[2, 1]) / (4 * y)])
+        s = 1.0 / (4 * y)
+        q = np.array([(R[0, 2] - R[2, 0]) * s,
+                      (R[0, 1] + R[1, 0]) * s, y,
+                      (R[1, 2] + R[2, 1]) * s])
     else:
         z = np.sqrt(max(0.0, 1.0 - R[0, 0] - R[1, 1] + R[2, 2])) / 2
-        q = np.array([(R[1, 0] - R[0, 1]) / (4 * z),
-                      (R[0, 2] + R[2, 0]) / (4 * z),
-                      (R[1, 2] + R[2, 1]) / (4 * z), z])
-    q = q / np.linalg.norm(q)
+        s = 1.0 / (4 * z)
+        q = np.array([(R[1, 0] - R[0, 1]) * s,
+                      (R[0, 2] + R[2, 0]) * s,
+                      (R[1, 2] + R[2, 1]) * s, z])
+    # no final normalization: Shepperd's construction is unit to f64
+    # rounding already, and the oracle's dcmToQuat does not normalize
+    # either (renormalizing costs 1 ulp of byte parity in write_pose)
     return -q if q[0] < 0 else q
 
 
@@ -115,6 +124,65 @@ class Pose:
             model_index=int(d.get("model_index", 0)),
         )
 
+    # -- oracle binary format (Pose3D::writePose/readPose,
+    #    pose_3d.hpp:118-121; layout probed byte-for-byte from the
+    #    compiled libopencv_surface_matching.so.4.6.0) --
+
+    def write_pose(self, f) -> None:
+        """Oracle-compatible binary: magic(7673) i32 | angle f64 |
+        numVotes i32 | modelIndex i32 | pose 16xf64 | t 3xf64 | q 4xf64
+        | residual f64 (alpha is NOT serialized, matching the oracle).
+
+        One intentional improvement: we write ``t`` as the pose's actual
+        translation; the oracle dumps its (often stale — updatePose
+        never sets it) ``t`` member. Oracle readers ignore t anyway.
+        """
+        import struct
+
+        close = False
+        if isinstance(f, (str, bytes)):
+            f = open(f, "wb")
+            close = True
+        try:
+            q = self.q
+            angle = 2.0 * float(np.arccos(np.clip(abs(q[0]), 0.0, 1.0)))
+            f.write(struct.pack("<idii", 7673, angle,
+                                int(self.num_votes), int(self.model_index)))
+            f.write(np.asarray(self.pose, "<f8").tobytes())
+            f.write(np.asarray(self.pose[:3, 3], "<f8").tobytes())
+            # the oracle's dcm-to-quat uses the conjugate (JPL-style)
+            # convention relative to our Hamilton quat_from_mat [probed
+            # byte-for-byte]; emit its convention
+            q_oracle = np.array([q[0], -q[1], -q[2], -q[3]])
+            f.write(np.asarray(q_oracle, "<f8").tobytes())
+            f.write(struct.pack("<d", float(self.residual)))
+        finally:
+            if close:
+                f.close()
+
+    @classmethod
+    def read_pose(cls, f) -> "Pose":
+        """Read the oracle's Pose3D binary (see write_pose)."""
+        import struct
+
+        close = False
+        if isinstance(f, (str, bytes)):
+            f = open(f, "rb")
+            close = True
+        try:
+            magic, _angle, nv, mi = struct.unpack("<idii", f.read(20))
+            if magic != 7673:
+                raise ValueError(f"bad Pose3D magic {magic}")
+            pose = np.frombuffer(f.read(128), "<f8").reshape(4, 4).copy()
+            f.read(24)  # t member (stale in oracle files; pose has it)
+            f.read(32)  # q (recomputed from the matrix on demand)
+            (residual,) = struct.unpack("<d", f.read(8))
+            return cls(pose=pose, residual=residual, num_votes=nv,
+                       model_index=mi)
+        finally:
+            if close:
+                f.close()
+
 
 @dataclasses.dataclass
 class PoseCluster:
@@ -150,6 +218,47 @@ class PoseCluster:
             match_y=rep.match_y,
             match_similarity=max(p.match_similarity for p in self.poses),
         )
+
+
+    # -- oracle binary format (PoseCluster3D::writePoseCluster /
+    #    readPoseCluster; probed from the compiled lib: magic(8462597)
+    #    i32 | id i32 | numVotes i32 | n i32 | n Pose3D records). Note
+    #    the oracle's own readPoseCluster double-frees on destruction
+    #    [measured crash]; ours round-trips. --
+
+    def write_pose_cluster(self, f) -> None:
+        import struct
+
+        close = False
+        if isinstance(f, (str, bytes)):
+            f = open(f, "wb")
+            close = True
+        try:
+            f.write(struct.pack("<iiii", 8462597, int(self.id),
+                                int(self.num_votes), len(self.poses)))
+            for p in self.poses:
+                p.write_pose(f)
+        finally:
+            if close:
+                f.close()
+
+    @classmethod
+    def read_pose_cluster(cls, f) -> "PoseCluster":
+        import struct
+
+        close = False
+        if isinstance(f, (str, bytes)):
+            f = open(f, "rb")
+            close = True
+        try:
+            magic, cid, nv, n = struct.unpack("<iiii", f.read(16))
+            if magic != 8462597:
+                raise ValueError(f"bad PoseCluster3D magic {magic}")
+            poses = [Pose.read_pose(f) for _ in range(n)]
+            return cls(poses=poses, num_votes=nv, id=cid)
+        finally:
+            if close:
+                f.close()
 
 
 def rotation_angle_between(qa: np.ndarray, qb: np.ndarray) -> float:

@@ -75,3 +75,28 @@ def test_normals_sri(golden):
     # SRI smooths more than FALS; agree on smooth surfaces to a few deg
     assert np.median(ang) < 2.0, f"median angular diff {np.median(ang):.2f}"
     assert (n[m][:, 2] < 0).mean() > 0.99
+
+
+def test_normals_linemod_oracle(golden):
+    """RgbdNormals LINEMOD method (raw u16 input) vs oracle goldens."""
+    from object_detector_6d_tpu.geom.normals import normals_linemod
+
+    g = golden("lmn_normals")
+    K = g["K"]
+    for case in ("sphere", "snowman", "rampxy", "holes"):
+        ours = np.asarray(normals_linemod(g[case + "_in"], K))
+        ref = g[case + "_n"]
+        # identical validity structure: NaN holes and (0,0,0) borders
+        np.testing.assert_array_equal(
+            np.isnan(ours).any(-1), np.isnan(ref).any(-1), err_msg=case
+        )
+        zeros_ref = (ref == 0).all(-1) & ~np.isnan(ref).any(-1)
+        zeros_ours = (ours == 0).all(-1) & ~np.isnan(ours).any(-1)
+        np.testing.assert_array_equal(zeros_ours, zeros_ref, err_msg=case)
+        m = np.isfinite(ref).all(-1) & ~zeros_ref
+        dot = np.clip(np.abs((ours[m] * ref[m]).sum(-1)), 0, 1)
+        ang = np.degrees(np.arccos(dot))
+        # sub-0.2 deg 99p: exact on single-axis gradients; rim pixels
+        # whose ring straddles the bilateral cutoff differ by <0.5 deg
+        assert np.percentile(ang, 99) < 0.2, (case, np.percentile(ang, 99))
+        assert ang.mean() < 0.05, (case, ang.mean())

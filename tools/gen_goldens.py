@@ -94,8 +94,31 @@ def gen_cg():
     save("cg_quantize", **out)
 
 
+def gen_lmn():
+    """RgbdNormals LINEMOD method goldens (raw CV_16U input only —
+    passing a points image segfaults, depth.hpp:112 / SURVEY appendix)."""
+    K = scenes.K_DEFAULT
+    est = cv2.rgbd.RgbdNormals_create(
+        480, 640, cv2.CV_32F, K, 5,
+        cv2.rgbd.RgbdNormals_RGBD_NORMALS_METHOD_LINEMOD,
+    )
+    out = {"K": K}
+    yy, xx = np.mgrid[0:480, 0:640]
+    cases = {}
+    cases["sphere"] = scenes.sphere_scene()[0]
+    cases["snowman"] = scenes.snowman_scene()[0]
+    cases["rampxy"] = (1200 + 2 * xx + 3 * yy).astype(np.uint16)
+    hole = np.full((480, 640), 1500, np.uint16)
+    hole[200:260, 300:360] = 0
+    cases["holes"] = hole
+    for name, dep in cases.items():
+        out[name + "_in"] = dep
+        out[name + "_n"] = est.apply(dep)
+    save("lmn_normals", **out)
+
+
 def main():
-    sections = sys.argv[1:] or ["dn", "geom", "cg"]
+    sections = sys.argv[1:] or ["dn", "geom", "cg", "lmn"]
     for s in sections:
         globals()["gen_" + s]()
 
