@@ -225,6 +225,11 @@ class Detector:
             self._kernel_cache[key] = (jnp.asarray(K), sizes, nfeat)
         return self._kernel_cache[key]
 
+    # largest fused candidate capacity before falling back to the host
+    # path (the Pallas refine sweeps K*F features; 1024 candidates is
+    # ~0.5 ms/frame/modality — far beyond any realistic threshold)
+    MAX_FUSED_CANDIDATES = 1024
+
     def match(
         self,
         sources: Sequence[np.ndarray],
@@ -237,23 +242,32 @@ class Detector:
 
         ``fused=True`` (default) runs the whole hot path as one jitted
         XLA program (match/program.py) — same results, one device
-        round-trip. Falls back to the host-orchestrated path when the
-        coarse candidate count exceeds ``max_candidates`` (very low
-        thresholds) or for non-2-level pyramids.
+        round-trip. When the coarse candidate count overflows
+        ``max_candidates`` (low thresholds, config-4 style frames) the
+        call re-runs a wider program from a power-of-two capacity
+        ladder (compiled once per bucket, cached); only counts beyond
+        MAX_FUSED_CANDIDATES fall back to the host-orchestrated path.
         """
         if fused and self.pyramid_levels == 2:
-            result = self._match_fused(sources, threshold, class_ids, max_candidates)
-            if result is not None:
+            K = max_candidates
+            while K <= self.MAX_FUSED_CANDIDATES:
+                result = self._match_fused(sources, threshold, class_ids, K)
+                if isinstance(result, int):  # overflow: n_above returned
+                    K = max(2 * K, 1 << (result - 1).bit_length())
+                    continue
                 return result
         return self._match_reference(sources, threshold, class_ids)
 
-    def get_bank(self, class_ids: Optional[Sequence[str]] = None):
+    def get_bank(self, class_ids: Optional[Sequence[str]] = None,
+                 pad_to: int = 1):
         """Packed global template bank for the fused programs (cached;
-        invalidated by add_template). None when no class has templates."""
+        invalidated by add_template). None when no class has templates.
+        ``pad_to``: round the bank up to a multiple (template-axis
+        sharding)."""
         from object_detector_6d_tpu.match import program as mp
 
         key = tuple(sorted(class_ids)) if class_ids else None
-        bank_key = ("bank", key)
+        bank_key = ("bank", key, pad_to)
         bank = self._kernel_cache.get(bank_key)
         if bank is None:
             selected = {
@@ -265,7 +279,7 @@ class Detector:
                 return None
             bank = mp.pack_bank(
                 selected, len(self.modality_names), 2,
-                t0=self.t_at_level[0], t1=self.t_at_level[1],
+                t0=self.t_at_level[0], t1=self.t_at_level[1], pad_to=pad_to,
             )
             self._kernel_cache[bank_key] = bank
         return bank
@@ -312,7 +326,7 @@ class Detector:
         )
         n_above = int(packed[0, -1])
         if n_above > max_candidates:
-            return None  # overflow: caller falls back to reference path
+            return n_above  # overflow: caller retries a wider bucket
         xs = packed[0, :-1].astype(np.int32)
         ys = packed[1, :-1].astype(np.int32)
         score = packed[2, :-1]

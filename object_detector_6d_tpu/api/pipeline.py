@@ -111,12 +111,20 @@ class PoseDetector:
         model_points: int = 1024,
         scene_window: int = 160,
         scene_points_stride: int = 2,
+        mesh=None,
     ):
+        """``mesh``: optional 2D (data, model) jax Mesh
+        (parallel/sharding.make_mesh). When set, detect_fused_batch
+        shards the WHOLE fused program across it — frames over ``data``,
+        template bank + ICP hypothesis lanes over ``model`` — for frame
+        batches divisible by the data axis (other calls fall back to
+        single-device)."""
         self.detector = detector or Detector()
         self.params = params or DetectParams()
         self.model_points = model_points
         self.scene_window = scene_window
         self.scene_stride = scene_points_stride
+        self.mesh = mesh
         self.views: Dict[Tuple[str, int], _ViewRecord] = {}
         from object_detector_6d_tpu.utils.metrics import PipelineCounters
 
@@ -218,12 +226,17 @@ class PoseDetector:
         validate_frame(depths[0], K, None if rgbs is None else rgbs[0])
         p = self.params
         threshold = p.match_threshold if match_threshold is None else match_threshold
-        bank = self.detector.get_bank(class_ids)
+        # mesh path: shard when the batch divides the data axis
+        mesh = self.mesh
+        if mesh is not None and (B == 1 or B % mesh.shape["data"]):
+            mesh = None
+        tp = mesh.shape["model"] if mesh is not None else 1
+        bank = self.detector.get_bank(class_ids, pad_to=tp)
         if bank is None:
             return [[] for _ in range(B)]
         cache = self.detector._kernel_cache
         vkey = ("views", self.detector.bank_version, len(self.views),
-                self.model_points)
+                self.model_points, tp)
         views = cache.get(vkey)
         if views is None:
             views = dp.pack_views(bank, self.views, self.model_points)
@@ -232,7 +245,8 @@ class PoseDetector:
         kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
         max_dr = ((bank.max_dr // 16) + 1) * 16
         K_cap = max(16, p.max_hypotheses)
-        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B)
+        K_cap = -(-K_cap // max(tp, 1)) * max(tp, 1)  # divisible by tp
+        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None)
         prog = cache.get(pkey)
         if prog is None:
             import jax
@@ -251,6 +265,7 @@ class PoseDetector:
                 icp=p.icp,
                 lift_window=self.scene_window,
                 batch=None if B == 1 else B,
+                mesh=mesh,
             )
             cache[pkey] = prog
         sources_b = []
