@@ -86,6 +86,33 @@ def pack_views(bank: "mp.PackedBank", views: Dict, model_points: int) -> PackedV
     )
 
 
+def flatten_outputs(packed, poses, res, keep, K_cap: int):
+    """(packed [.., 5, K+1], poses [.., K, 4, 4], res [.., K], keep
+    [.., K]) -> one f32 array [.., 5*(K+1) + 16K + 2K]."""
+    lead = packed.shape[:-2]
+    return jnp.concatenate(
+        [
+            packed.reshape(lead + (5 * (K_cap + 1),)),
+            poses.reshape(lead + (16 * K_cap,)),
+            res.reshape(lead + (K_cap,)),
+            keep.astype(jnp.float32).reshape(lead + (K_cap,)),
+        ],
+        axis=-1,
+    )
+
+
+def unflatten_outputs(flat: np.ndarray, K_cap: int):
+    """Inverse of flatten_outputs (host side, numpy)."""
+    lead = flat.shape[:-1]
+    o = 5 * (K_cap + 1)
+    packed = flat[..., :o].reshape(lead + (5, K_cap + 1))
+    poses = flat[..., o:o + 16 * K_cap].reshape(lead + (K_cap, 4, 4))
+    o += 16 * K_cap
+    res = flat[..., o:o + K_cap]
+    keep = flat[..., o + K_cap:o + 2 * K_cap] > 0
+    return packed, poses, res, keep
+
+
 def make_detect_program(
     modality_names: Sequence[str],
     t_at_level: Sequence[int],
@@ -103,6 +130,7 @@ def make_detect_program(
     min_inlier_frac: float = 0.25,
     batch: Optional[int] = None,
     mesh=None,
+    flat_output: bool = False,
 ):
     """Build the fused detect program for one (frame shape, K) pair.
 
@@ -116,6 +144,10 @@ def make_detect_program(
     (leading batch axis on every output when ``batch`` is set). ``poses``
     already compose the template's training-view pose, i.e. they map
     model -> scene camera when view poses were registered.
+
+    ``flat_output=True`` concatenates the four outputs into ONE f32
+    array per frame (see ``flatten_outputs``/``unflatten_outputs``) so a
+    remote-PJRT host pays one transfer round trip per call, not four.
 
     With ``mesh`` (a 2D (data, model) jax Mesh, parallel/sharding.py
     make_mesh) the SAME program shards: frames over ``data``, the
@@ -380,6 +412,8 @@ def make_detect_program(
             poses, res, keep = refine_sharded(
                 sources[depth_idx], packed, views
             )
+            if flat_output:
+                return flatten_outputs(packed, poses, res, keep, K_cap)
             return packed, poses, res, keep
 
         return run_sharded
@@ -408,6 +442,8 @@ def make_detect_program(
             poses, res, keep = jax.vmap(
                 lambda d, p: lift_and_refine(d, p, views)
             )(depth, packed)
+        if flat_output:
+            return flatten_outputs(packed, poses, res, keep, K_cap)
         return packed, poses, res, keep
 
     return run

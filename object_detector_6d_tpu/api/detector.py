@@ -311,9 +311,12 @@ class Detector:
             )
             self._kernel_cache[prog_key] = prog
         srcs = [jnp.asarray(s) for s in sources]
-        packed = np.asarray(
-            prog(
-                srcs,
+        # device-resident bank args, converted once per bank (per-call
+        # host->device conversions cost one upload RPC each)
+        akey = ("bank_args", self.bank_version, id(bank))
+        bank_args = self._kernel_cache.get(akey)
+        if bank_args is None:
+            bank_args = (
                 bank.kernels_low,
                 bank.kernels_dec,
                 (bank.feat_plane, bank.feat_dr, bank.feat_dc, bank.feat_n),
@@ -321,8 +324,10 @@ class Detector:
                 jnp.asarray(bank.nfeat[1]),
                 jnp.asarray(bank.sizes[0]),
                 jnp.asarray(bank.sizes[1]),
-                jnp.float32(threshold),
             )
+            self._kernel_cache[akey] = bank_args
+        packed = np.asarray(
+            prog(srcs, *bank_args, jnp.float32(threshold))
         )
         n_above = int(packed[0, -1])
         if n_above > max_candidates:
