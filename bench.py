@@ -84,7 +84,7 @@ def bench_match(jax, jnp, B=8, n_batches=12):
     return fps
 
 
-def bench_detect(jax, jnp, B=8, n_batches=8):
+def bench_detect(jax, jnp, B=16, n_batches=8):
     sys.path.insert(0, "tools")
     import scenes
 
@@ -151,7 +151,7 @@ def main():
         json.dumps(
             {
                 "metric": "full detect() 640x480, 121-template bank, "
-                          "8 hypotheses x 3 depth seeds, batch 8",
+                          "8 hypotheses x 3 depth seeds, batch 16",
                 "value": round(detect_fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(detect_fps / CPU_DETECT_FPS, 2),

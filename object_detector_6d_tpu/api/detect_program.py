@@ -194,9 +194,12 @@ def make_detect_program(
     else:
         coarse_levels, fine_levels = all_levels, []
     iters = max(1, icp.iterations // icp.num_levels)
-    # NOTE ICP tolerance is fixed at the projective default, NOT
-    # icp.tolerance: projective steps are smaller per iteration; the NN
-    # tolerance stops ~25 mm early (refine/projective.py docstring).
+    # NOTE the update-norm early-exit is NOT icp.tolerance (the NN
+    # rule's semantics don't transfer — refine/projective.py docstring).
+    # With the normal-compatibility gate, accuracy is insensitive to
+    # this knob (measured ~1.5 mm from 1e-4 through 3e-3); 3e-4 exits
+    # the convergence tail several iterations earlier per level.
+    proj_tol = 3e-4
 
     def lift(depth_u16, packed, views: PackedViews):
         """Single frame: [5, K+1] match arrays -> ICP-ready hypotheses."""
@@ -269,6 +272,7 @@ def make_detect_program(
             lambda m, p: icp_levels(
                 m, p, scene7, fx, fy, cx, cy, H, W,
                 levels=coarse_levels, iters_per_level=iters,
+                tolerance=proj_tol,
             )
         )(flat_models, flat_poses)
 
@@ -300,6 +304,7 @@ def make_detect_program(
             lambda m, p: icp_levels(
                 m, p, scene7, fx, fy, cx, cy, H, W,
                 levels=fine_levels, iters_per_level=iters,
+                tolerance=proj_tol,
             )
         )(models, poses)
 
