@@ -337,6 +337,13 @@ def make_detect_program(
             best_pose = poses2
         final = jnp.einsum("kij,kjl->kil", best_pose, views.view_poses[tids])
         keep_out = keep & jnp.isfinite(best_res)
+        # debug-mode watch (trace-time no-op otherwise): NaN in a KEPT
+        # pose is a bug — NaN is legal only as the masked-invalid value
+        # inside the programs (utils/debug.py)
+        from object_detector_6d_tpu.utils.debug import nan_watch
+
+        final = nan_watch(final, "detect.poses",
+                          mask=keep_out[:, None, None])
         return final, best_res, keep_out
 
     def lift_and_refine_sharded(depth_u16, packed, views: PackedViews):

@@ -123,11 +123,15 @@ def load_model(models_dir: str, obj_id: int) -> Tuple[np.ndarray, float]:
 # ----------------------------------------------------------------------
 
 def make_synthetic_bop_scene(
-    out_dir: str, n_frames: int = 4, obj_id: int = 1, seed: int = 0
+    out_dir: str, n_frames: int = 4, obj_id: int = 1, seed: int = 0,
+    max_rot_deg: float = 10.0,
 ) -> None:
-    """Write a tiny BOP-layout scene from the snowman generator, with
-    ground-truth translations, so the loaders and the eval harness run
-    end-to-end without external data."""
+    """Write a tiny BOP-layout scene from the snowman generator with
+    FULL SE(3) ground truth (rotations up to ``max_rot_deg`` about
+    random axes through the object centroid, composed with random
+    translations), so the loaders and the eval harness exercise the
+    rotation lift end-to-end without external data. ``max_rot_deg=0``
+    reproduces the translation-only scene."""
     import pathlib
     import sys
 
@@ -141,11 +145,17 @@ def make_synthetic_bop_scene(
     os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     dep0, gray0, mask0 = scenes.snowman_scene()
+    centroid = scenes.masked_centroid(dep0, mask0, K)
     cameras = {}
     gts = {}
     for i in range(n_frames):
         t = rng.uniform([-0.06, -0.04, -0.05], [0.06, 0.04, 0.05])
-        dep, _, gray = scenes.render_translated(dep0, mask0, K, t)
+        pose = scenes.rot_about(
+            rng.normal(size=3), rng.uniform(-max_rot_deg, max_rot_deg),
+            centroid,
+        )
+        pose[:3, 3] += t
+        dep, _, gray = scenes.render_posed(dep0, mask0, K, pose)
         Image.fromarray(dep).save(os.path.join(out_dir, "depth", f"{i:06d}.png"))
         Image.fromarray(np.repeat(gray[..., None], 3, 2)).save(
             os.path.join(out_dir, "rgb", f"{i:06d}.png")
@@ -154,8 +164,8 @@ def make_synthetic_bop_scene(
         gts[str(i)] = [
             {
                 "obj_id": obj_id,
-                "cam_R_m2c": np.eye(3).reshape(-1).tolist(),
-                "cam_t_m2c": (np.asarray(t) * 1000.0).tolist(),
+                "cam_R_m2c": pose[:3, :3].reshape(-1).tolist(),
+                "cam_t_m2c": (pose[:3, 3] * 1000.0).tolist(),
             }
         ]
     with open(os.path.join(out_dir, "scene_camera.json"), "w") as f:

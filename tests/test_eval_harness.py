@@ -34,7 +34,12 @@ def test_loader(synthetic_scene):
     assert f.depth_u16.shape == (480, 640)
     assert f.rgb is not None and f.rgb.shape == (480, 640, 3)
     assert len(f.gt) == 1 and f.gt[0].obj_id == 1
-    assert np.abs(f.gt[0].t).max() < 0.1
+    # full SE(3) ground truth: proper rotation + bounded translation
+    # (rotation about the ~1.2 m-away centroid puts up to ~0.25 m into
+    # the translation column)
+    R = f.gt[0].pose[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+    assert np.abs(f.gt[0].t).max() < 0.4
 
 
 def test_add_accuracy_on_synthetic_scene(synthetic_scene):
