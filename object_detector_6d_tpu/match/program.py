@@ -253,12 +253,42 @@ def make_match_program(
             .reshape(8 * t1 * t1, Hd1, Wd1)
         )
 
-    def coarse_stage(sources, kernels_low, nfeat_l1, sizes_l1, threshold):
-        """Single frame: quantize -> responses -> coarse sweep -> top-K."""
-        qs = _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params)
-        R0 = [response_maps(spread(q, t0)) for q in qs[0]]
-        R1 = [response_maps(spread(q, t1)) for q in qs[1]]
+    use_pallas_response = refine_impl == "pallas"
 
+    def compute_responses_batched(sources_b):
+        """Frame-batched quantize + spread + response for both levels.
+
+        Hoisted OUT of the per-frame vmap so the spread/response math can
+        run as ONE Pallas kernel over the frame batch per (level,
+        modality) (ops/response_pallas.py): bit-identical to the XLA
+        formulation, but immune to the fusion-budget cliff that makes
+        the combined XLA program ~3x slower than its parts (a vmapped
+        pallas_call is unsupported, hence the restructure).
+        Returns (R0_b, R1_b): per modality [B, 8, H, W] u8.
+        """
+        qs_b = jax.vmap(
+            lambda *s: _quantize_pyramids(
+                list(s), modality_names, levels, dn_params, cg_params
+            )
+        )(*sources_b)
+        if use_pallas_response:
+            from object_detector_6d_tpu.ops.response_pallas import (
+                response_spread_batched,
+            )
+
+            R0_b = [response_spread_batched(qs_b[0][m], t0)
+                    for m in range(num_mod)]
+            R1_b = [response_spread_batched(qs_b[1][m], t1)
+                    for m in range(num_mod)]
+        else:
+            R0_b = [jax.vmap(lambda q: response_maps(spread(q, t0)))(qs_b[0][m])
+                    for m in range(num_mod)]
+            R1_b = [jax.vmap(lambda q: response_maps(spread(q, t1)))(qs_b[1][m])
+                    for m in range(num_mod)]
+        return R0_b, R1_b
+
+    def coarse_stage(R0, R1, kernels_low, nfeat_l1, sizes_l1, threshold):
+        """Single frame: precomputed responses -> coarse sweep -> top-K."""
         raw = None
         for mod in range(num_mod):
             k = kernels_low[mod]  # [nT, 8*t1^2, kd, kd] bf16
@@ -310,7 +340,7 @@ def make_match_program(
         rc = top_idx % (gh * gw)
         xs = (rc % gw) * t1 + off1
         ys = (rc // gw) * t1 + off1
-        return R0, tids, valid, n_above, xs, ys, top_vals
+        return tids, valid, n_above, xs, ys, top_vals
 
     def anchors_stage(tids, xs, ys, sizes_l0):
         border = 8 * t0
@@ -401,8 +431,11 @@ def make_match_program(
 
         All bank inputs may be a template-axis SHARD; ``tid_offset``
         relabels output template ids to global ids."""
-        R0, tids, valid, n_above, xs, ys, raw_vals = coarse_stage(
-            sources, kernels_low, nfeat_l1, sizes_l1, threshold
+        R0_b, R1_b = compute_responses_batched([s[None] for s in sources])
+        R0 = [r[0] for r in R0_b]
+        R1 = [r[0] for r in R1_b]
+        tids, valid, n_above, xs, ys, raw_vals = coarse_stage(
+            R0, R1, kernels_low, nfeat_l1, sizes_l1, threshold
         )
         x2, y2, base_c, base_r = anchors_stage(tids, xs, ys, sizes_l0)
         if refine_impl == "pallas":
@@ -436,10 +469,13 @@ def make_match_program(
         tid_offset = kw.get("tid_offset", 0)
         from object_detector_6d_tpu.ops.refine_pallas import refine_sweep_batched
 
+        R0_b, R1_b = compute_responses_batched(sources)
         pre = jax.vmap(
-            lambda s: coarse_stage(s, kernels_low, nfeat_l1, sizes_l1, threshold)
-        )(sources)
-        R0_b, tids_b, valid_b, n_above_b, xs_b, ys_b, raw_b = pre
+            lambda r0, r1: coarse_stage(
+                r0, r1, kernels_low, nfeat_l1, sizes_l1, threshold
+            )
+        )(R0_b, R1_b)
+        tids_b, valid_b, n_above_b, xs_b, ys_b, raw_b = pre
         x2_b, y2_b, base_c_b, base_r_b = jax.vmap(
             lambda t, x, y: anchors_stage(t, x, y, sizes_l0)
         )(tids_b, xs_b, ys_b)
