@@ -50,3 +50,35 @@ def test_partially_occluded_object():
     err = np.abs(best.pose[:3, 3] - t_true)
     # occlusion costs accuracy; demand the right neighborhood
     assert err.max() < 0.02, f"t err {best.pose[:3, 3]} vs {t_true}"
+
+
+def test_partially_occluded_object_fused():
+    """Same scenario through the single-call fused program: the
+    multi-depth seeds must pick the object depth over the occluder's,
+    with tighter error than the host test (ADD-0.1d on a LINEMOD-scale
+    object needs ~1-2.5 cm model-point mean; demand ~half of that on
+    translation)."""
+    det = PoseDetector(
+        params=DetectParams(
+            match_threshold=55.0,
+            max_hypotheses=8,
+            icp=ICPParams(iterations=32, num_levels=4),
+        )
+    )
+    K = scenes.K_DEFAULT
+    dep, gray, mask = scenes.snowman_scene()
+    det.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=_bgr(gray))
+
+    t_true = np.array([0.04, -0.015, -0.03])
+    dep2, m2, gray2 = scenes.render_translated(dep, mask, K, t_true)
+    occ = np.zeros_like(dep2, bool)
+    occ[200:320, 270:345] = True
+    dep2 = dep2.copy()
+    gray2 = gray2.copy()
+    dep2[occ] = 900
+    gray2[occ] = 200
+
+    poses = det.detect_fused(dep2, K, rgb=_bgr(gray2))
+    assert poses, "occluded object not detected (fused)"
+    err = np.abs(poses[0].pose[:3, 3] - t_true)
+    assert err.max() < 0.012, f"t err {poses[0].pose[:3, 3]} vs {t_true}"
