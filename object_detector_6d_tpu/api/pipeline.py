@@ -327,6 +327,8 @@ class PoseDetector:
             for k in range(K_cap):
                 if not keep[b, k] or not np.isfinite(res[b, k]):
                     continue
+                if res[b, k] > p.max_residual:  # hypothesis scoring
+                    continue
                 tid = int(packed[b, 3, k])
                 out.append(
                     Pose(
@@ -458,6 +460,8 @@ class PoseDetector:
             )
         for r in residuals:
             self.counters.observe("icp_residual", float(r))
+        # post-ICP hypothesis scoring (see DetectParams.max_residual)
+        out = [q for q in out if q.residual <= p.max_residual]
         clusters = cluster_poses(
             out,
             translation_threshold=p.nms_radius_px / float(intr.fx) * 1.0,

@@ -77,6 +77,12 @@ class DetectParams:
     match_threshold: float = 80.0
     max_hypotheses: int = 16
     nms_radius_px: float = 24.0
+    # post-ICP hypothesis scoring (north_star "hypothesis scoring and
+    # NMS"): detections whose mean point-to-plane residual exceeds this
+    # are rejected. Correct poses on these sensors score ~0.3-1.5 mm;
+    # a smaller template latched onto part of a larger object refines to
+    # ~5 mm [measured] and would otherwise out-vote genuine detections.
+    max_residual: float = 0.004
     icp: ICPParams = dataclasses.field(
         default_factory=lambda: ICPParams(iterations=100)
     )
