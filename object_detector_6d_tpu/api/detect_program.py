@@ -131,6 +131,7 @@ def make_detect_program(
     batch: Optional[int] = None,
     mesh=None,
     flat_output: bool = False,
+    pallas_interpret: bool = False,
 ):
     """Build the fused detect program for one (frame shape, K) pair.
 
@@ -182,6 +183,7 @@ def make_detect_program(
         refine_impl=refine_impl,
         batch=batch,
         mesh=mesh,
+        pallas_interpret=pallas_interpret,
     )
 
     depth_idx = next(

@@ -207,6 +207,7 @@ def make_match_program(
     refine_impl: str = "conv",
     batch: int | None = None,
     mesh=None,
+    pallas_interpret: bool = False,
 ):
     """Build the fused per-frame matcher.
 
@@ -219,6 +220,8 @@ def make_match_program(
     ``refine_impl``: 'conv' (XLA batch-grouped conv; works everywhere) or
     'pallas' (VMEM-resident sparse sweep kernel; TPU only, ~4x faster).
     ``max_dr`` is the bank's largest level-0 feature cell offset.
+    ``pallas_interpret`` runs the Pallas kernels in interpreter mode so
+    the 'pallas' path is testable on CPU (tests/test_pallas_kernels.py).
     """
     levels = len(t_at_level)
     assert levels == 2, "fused program currently supports 2-level pyramids"
@@ -276,9 +279,11 @@ def make_match_program(
                 response_spread_batched,
             )
 
-            R0_b = [response_spread_batched(qs_b[0][m], t0)
+            R0_b = [response_spread_batched(qs_b[0][m], t0,
+                                            interpret=pallas_interpret)
                     for m in range(num_mod)]
-            R1_b = [response_spread_batched(qs_b[1][m], t1)
+            R1_b = [response_spread_batched(qs_b[1][m], t1,
+                                            interpret=pallas_interpret)
                     for m in range(num_mod)]
         else:
             R0_b = [jax.vmap(lambda q: response_maps(spread(q, t0)))(qs_b[0][m])
@@ -450,9 +455,9 @@ def make_match_program(
                 c0i = base_c[:, None] + feat_dc[mod][tids]
                 # invalid top-K slots sweep zero features (kernel skips them)
                 nfe = jnp.where(valid, feat_n[mod][tids], 0)
-                total16 = total16 + refine_sweep(D, plane, r0i, c0i, nfe).astype(
-                    jnp.float32
-                )
+                total16 = total16 + refine_sweep(
+                    D, plane, r0i, c0i, nfe, interpret=pallas_interpret
+                ).astype(jnp.float32)
         else:
             total16 = refine_conv(R0, kernels_dec, tids, base_r, base_c)
         return post_stage(total16, tids, valid, n_above, x2, y2, nfeat_l0,
@@ -490,7 +495,7 @@ def make_match_program(
             # invalid top-K slots sweep zero features (kernel skips them)
             nfe = jnp.where(valid_b, feat_n[mod][tids_b], 0)
             total16 = total16 + refine_sweep_batched(
-                D_b, plane, r0i, c0i, nfe
+                D_b, plane, r0i, c0i, nfe, interpret=pallas_interpret
             ).astype(jnp.float32)
         return jax.vmap(
             lambda t16, t, v, na, x2, y2, rv: post_stage(
