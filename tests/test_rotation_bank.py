@@ -17,9 +17,14 @@ import pathlib
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
 import scenes  # noqa: E402
+
+# multi-minute on a 1-core host: trains a 5-view arc, then runs the full
+# CPU ICP schedule per detection (core parity suite: -m "not slow")
+pytestmark = pytest.mark.slow
 
 from object_detector_6d_tpu.api.pipeline import PoseDetector
 from object_detector_6d_tpu.api.templates import render_view, train_from_model

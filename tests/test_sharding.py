@@ -70,6 +70,7 @@ def test_sharded_coarse_matches_local(mesh):
         np.testing.assert_allclose(got_v, expect_v, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_detect_program_equals_unsharded(mesh):
     """The PRODUCTION fused detect program under the mesh == single-device.
 
