@@ -218,6 +218,27 @@ class PoseDetector:
         """Batched fused detect over B frames sharing one camera: a single
         device call refines every frame's hypotheses (the per-execution
         RPC floor through a remote PJRT tunnel amortizes across B)."""
+        return self.detect_fused_finalize(
+            self.detect_fused_dispatch(depths, K, rgbs, class_ids,
+                                       match_threshold)
+        )
+
+    def detect_fused_dispatch(
+        self,
+        depths: np.ndarray,  # [B, H, W] u16
+        K: np.ndarray,
+        rgbs: Optional[np.ndarray] = None,  # [B, H, W, 3] u8
+        class_ids: Optional[Sequence[str]] = None,
+        match_threshold: Optional[float] = None,
+    ):
+        """Dispatch the fused device program WITHOUT blocking on results.
+
+        Returns an opaque handle for :meth:`detect_fused_finalize`. JAX
+        dispatch is asynchronous, so a caller that dispatches batch
+        ``i+1`` before finalizing batch ``i`` overlaps device execution
+        and the result RPC with the previous batch's host-side NMS — the
+        streaming deployment shape (api/streaming.py) and the bench's
+        pipelined throughput mode."""
         from object_detector_6d_tpu.api import detect_program as dp
         from object_detector_6d_tpu.utils.metrics import validate_frame
 
@@ -237,7 +258,7 @@ class PoseDetector:
         tp = mesh.shape["model"] if mesh is not None else 1
         bank = self.detector.get_bank(class_ids, pad_to=tp)
         if bank is None:
-            return [[] for _ in range(B)]
+            return ("empty", B)
         cache = self.detector._kernel_cache
         vkey = ("views", self.detector.bank_version, len(self.views),
                 self.model_points, tp)
@@ -306,7 +327,21 @@ class PoseDetector:
         if thr_dev is None:
             thr_dev = jnp.float32(threshold)
             cache[tkey] = thr_dev
-        flat = np.asarray(prog(sources_b, *bank_args, views, thr_dev))
+        flat_dev = prog(sources_b, *bank_args, views, thr_dev)
+        return (flat_dev, B, K_cap, bank, depths, rgbs, K, class_ids,
+                match_threshold)
+
+    def detect_fused_finalize(self, handle) -> List[List[Pose]]:
+        """Block on a :meth:`detect_fused_dispatch` handle and run the
+        host-side post-processing (unpack, scoring, cluster NMS)."""
+        from object_detector_6d_tpu.api import detect_program as dp
+
+        if isinstance(handle[0], str):  # "empty": no templates registered
+            return [[] for _ in range(handle[1])]
+        (flat_dev, B, K_cap, bank, depths, rgbs, K, class_ids,
+         match_threshold) = handle
+        p = self.params
+        flat = np.asarray(flat_dev)
         packed, poses, res, keep = dp.unflatten_outputs(
             flat.reshape(B, -1), K_cap
         )

@@ -54,10 +54,44 @@ def pack_scene7(scene6_img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chol_solve6(A, b):
-    """Damped SPD 6x6 solve via Cholesky."""
+    """Damped SPD 6x6 solve via explicitly unrolled Cholesky.
+
+    jnp.linalg.cholesky + cho_solve on a 6x6 lower to loopy TPU code:
+    measured 0.32 ms per 384-lane vmapped step — about HALF the cost of
+    a whole projective-ICP iteration (tools/prof_icp.py step_solve).
+    The unrolled form is pure elementwise math that vectorizes across
+    the vmapped lane batch on the VPU and measures ~0 ms
+    (solve_unrolled). Same damping and factorization order, so results
+    agree to f32 round-off.
+    """
     lam = 1e-6 * jnp.trace(A) + 1e-12
-    L = jnp.linalg.cholesky(A + lam * jnp.eye(6, dtype=A.dtype))
-    return jax.scipy.linalg.cho_solve((L, True), b)
+    a = [[A[i, j] + jnp.where(i == j, lam, 0.0) for j in range(6)]
+         for i in range(6)]
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, 6):
+            s = a[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * 6
+    for i in range(6):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, -1)
 
 
 def _proj_step(
