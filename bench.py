@@ -118,10 +118,11 @@ def build_detector(jnp):
     from object_detector_6d_tpu.data.synthetic import synthetic_bank
 
     # production-tuned config: 32 ICP iterations over 4 levels, 512-pt
-    # model clouds, 8 hypothesis slots x 3 depth seeds. Parity verified
+    # model clouds, 16 hypothesis slots x 3 depth seeds (two-object scenes produce
+    # 10-20 coarse candidates/frame). Parity verified
     # (tools/parity_add.py, run on the TPU): 100% ADD-0.1d vs oracle.
     pd = PoseDetector(
-        params=DetectParams(match_threshold=80.0, max_hypotheses=8,
+        params=DetectParams(match_threshold=80.0, max_hypotheses=16,
                             icp=ICPParams(iterations=32, num_levels=4)),
         model_points=512,
     )
@@ -172,7 +173,8 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=16, n_pipe=12):
         for p in frame:
             per_class[p.class_id] = per_class.get(p.class_id, 0) + 1
     log(f"detect compile+first batch: {time.time()-t0:.1f}s, "
-        f"detections/class over {B} frames: {per_class}")
+        f"detections/class over {B} frames: {per_class}, "
+        f"overflow fallbacks: {pd.counters.counts['overflow_fallback']}")
 
     # sequential (round-2-comparable): block on each batch
     t0 = time.time()
@@ -260,7 +262,7 @@ def main():
         json.dumps(
             {
                 "metric": "full detect() 640x480, 122-template bank, "
-                          "2 object classes/frame, 8 hyp x 3 seeds, "
+                          "2 object classes/frame, 16 hyp x 3 seeds, "
                           "batch 16 pipelined",
                 "value": round(pipe_fps, 2),
                 "unit": "frames/sec/chip",

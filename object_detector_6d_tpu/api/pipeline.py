@@ -350,6 +350,7 @@ class PoseDetector:
         for b in range(B):
             if int(packed[b, 0, -1]) > K_cap:
                 # coarse-candidate overflow: host path preserves parity
+                self.counters.inc("overflow_fallback")
                 results.append(
                     self.detect(
                         depths[b], K, None if rgbs is None else rgbs[b],

@@ -42,16 +42,22 @@ def evaluate_scene(
     symmetric: bool = False,
     match_threshold: Optional[float] = None,
     max_frames: Optional[int] = None,
+    use_fused: bool = True,
 ) -> EvalResult:
+    """``use_fused`` (default) drives the production single-call fused
+    program (PoseDetector.detect_fused); False selects the
+    host-orchestrated reference path for debugging — the fps and ADD it
+    reports then measure a pipeline nobody ships."""
     n_gt = n_det = n_ok = 0
     adds: List[float] = []
     t0 = time.time()
     n_frames = 0
+    detect = pose_detector.detect_fused if use_fused else pose_detector.detect
     for frame in scene.frames():
         if max_frames is not None and n_frames >= max_frames:
             break
         n_frames += 1
-        poses = pose_detector.detect(
+        poses = detect(
             frame.depth_u16, frame.K, rgb=frame.rgb, match_threshold=match_threshold
         )
         for gt in frame.gt:
