@@ -117,8 +117,25 @@ def gen_lmn():
     save("lmn_normals", **out)
 
 
+def gen_sri():
+    """RgbdNormals SRI method goldens (points-image input, like FALS) —
+    quantifies PARITY deviation 4 with numbers (VERDICT round-2 item 8)."""
+    K = scenes.K_DEFAULT
+    est = cv2.rgbd.RgbdNormals_create(
+        480, 640, cv2.CV_32F, K, 5,
+        cv2.rgbd.RgbdNormals_RGBD_NORMALS_METHOD_SRI,
+    )
+    out = {"K": K}
+    for name, dep in (("sphere", scenes.sphere_scene()[0]),
+                      ("snowman", scenes.snowman_scene()[0])):
+        p3d = cv2.rgbd.depthTo3d(dep, K)
+        out[name + "_in"] = dep
+        out[name + "_n"] = est.apply(p3d)
+    save("sri_normals", **out)
+
+
 def main():
-    sections = sys.argv[1:] or ["dn", "geom", "cg", "lmn"]
+    sections = sys.argv[1:] or ["dn", "geom", "cg", "lmn", "sri"]
     for s in sections:
         globals()["gen_" + s]()
 
