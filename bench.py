@@ -184,14 +184,16 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=16, n_pipe=12):
     seq_fps = 4 * B / dt
     log(f"detect sequential: {dt/4*1e3:.1f} ms/batch of {B} -> {seq_fps:.1f} fps")
 
-    def pipelined(n):
+    def pipelined(n, group=4):
+        """Dispatch everything; retrieve results in groups (ONE RPC
+        round trip per group — detect_fused_finalize_many)."""
         t0 = time.time()
         handles = [
             pd.detect_fused_dispatch(inputs[i % 4][0], K, inputs[i % 4][1])
             for i in range(n)
         ]
-        for h in handles:
-            pd.detect_fused_finalize(h)
+        for i in range(0, n, group):
+            pd.detect_fused_finalize_many(handles[i:i + group])
         return time.time() - t0
 
     pipelined(2)  # warm the dispatch path
@@ -227,15 +229,18 @@ def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
         lat.append(time.time() - t0)
     tick_ms = float(np.mean(sorted(lat)[:6]) * 1e3)
 
-    # pipelined ticks (dispatch tick i+1 before finalizing tick i): the
-    # deployment shape — per-camera frame queues hide the tick latency
+    # pipelined ticks (dispatch tick i+1 before finalizing tick i,
+    # results retrieved in groups of 4 ticks — ONE RPC round trip per
+    # group): the deployment shape — per-camera frame queues hide the
+    # tick latency, and a 4-tick retrieval group adds ~133 ms result
+    # latency at 30 FPS camera rate
     t0 = time.time()
     handles = [
         pd.detect_fused_dispatch(ticks[i % 4][0], K, ticks[i % 4][1])
         for i in range(n_ticks)
     ]
-    for h in handles:
-        pd.detect_fused_finalize(h)
+    for i in range(0, n_ticks, 4):
+        pd.detect_fused_finalize_many(handles[i:i + 4])
     dt = time.time() - t0
     agg_fps = n_ticks * n_cam / dt
     log(f"streaming: tick latency {tick_ms:.1f} ms blocking; pipelined "

@@ -191,8 +191,16 @@ def make_detect_program(
     )
 
     all_levels = list(range((icp.num_levels) - 1, -1, -1))
-    if icp.num_levels >= 3:
-        coarse_levels, fine_levels = all_levels[:-2], all_levels[-2:]
+    # Phase split: the COARSEST level alone runs on every (candidate,
+    # seed) lane; every remaining level runs on the K surviving lanes.
+    # Round 2 put two levels in the K*S phase — but one coarsest-level
+    # pass (8 masked iterations on a 2^(L-1)-stride model subsample)
+    # already separates object seeds from background/occluder seeds via
+    # the residual + inlier-fraction gate, and the per-frame ICP lane
+    # count dominates fused-detect device time (tools/prof_icp.py), so
+    # the S-fold lanes should run as little as discrimination needs.
+    if icp.num_levels >= 2:
+        coarse_levels, fine_levels = all_levels[:1], all_levels[1:]
     else:
         coarse_levels, fine_levels = all_levels, []
     iters = max(1, icp.iterations // icp.num_levels)
