@@ -232,13 +232,16 @@ def make_detect_program(
         def window_q(cxi, cyi, bwi, bhi):
             x0 = jnp.clip(cxi - win // 2, 0, W - win)
             y0 = jnp.clip(cyi - win // 2, 0, H - win)
-            w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))
-            # restrict the quantiles to the matched template's bbox: for
-            # objects much smaller than the window every quantile is
-            # background depth otherwise, and all seeds lift onto the
-            # background plane
-            xs_g = x0 + jnp.arange(win)
-            ys_g = y0 + jnp.arange(win)
+            w = jax.lax.dynamic_slice(z_img, (y0, x0), (win, win))[::2, ::2]
+            # stride-2 subsample: nanquantile sorts the window, and the
+            # full 160x160 sort costs ~2.4 ms/16-frame batch on-chip
+            # (tools/prof_icp.py lift_quantile) for seeds ICP only needs
+            # to land within ~15 mm of the surface; restrict the
+            # quantiles to the matched template's bbox — for objects
+            # much smaller than the window every quantile is background
+            # depth otherwise, and all seeds lift onto the background
+            xs_g = x0 + jnp.arange(0, win, 2)
+            ys_g = y0 + jnp.arange(0, win, 2)
             inx = (xs_g >= cxi - bwi // 2 - 1) & (xs_g <= cxi + bwi // 2 + 1)
             iny = (ys_g >= cyi - bhi // 2 - 1) & (ys_g <= cyi + bhi // 2 + 1)
             w = jnp.where(iny[:, None] & inx[None, :], w, jnp.nan)

@@ -72,25 +72,34 @@ def main():
     K = scenes.K_DEFAULT
     Kj = jnp.asarray(K)
     pd = PoseDetector(
-        params=DetectParams(match_threshold=80.0, max_hypotheses=8,
+        params=DetectParams(match_threshold=80.0, max_hypotheses=16,
                             icp=ICPParams(iterations=32, num_levels=4)),
         model_points=512,
     )
     synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0,
                    detector=pd.detector)
-    dep, gray, mask = scenes.snowman_scene()
-    bgr = np.repeat(gray[..., None], 3, axis=2)
-    tid = pd.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=bgr)
+    depA, grayA, maskA = scenes.snowman_scene()
+    tid = pd.add_view("objA", depA, K, maskA.astype(np.uint8) * 255,
+                      rgb=np.repeat(grayA[..., None], 3, axis=2))
+    assert tid == 0
+    depB, grayB, maskB = scenes.snowman_scene(scale=0.78)
+    tid = pd.add_view("objB", depB, K, maskB.astype(np.uint8) * 255,
+                      rgb=np.repeat(grayB[..., None], 3, axis=2))
     assert tid == 0
 
     rng = np.random.RandomState(1)
     depths, rgbs = [], []
     for b in range(B):
-        t = np.array([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
-                      rng.uniform(-0.04, 0.04)])
-        d2, _, g2 = scenes.render_translated(dep, mask, K, t)
-        depths.append(d2)
-        rgbs.append(np.repeat(g2[..., None], 3, axis=2))
+        tA = np.array([rng.uniform(-0.05, 0.05), rng.uniform(-0.04, 0.04),
+                       rng.uniform(-0.04, 0.04)])
+        tB = np.array([-0.26 + rng.uniform(-0.03, 0.03),
+                       0.11 + rng.uniform(-0.03, 0.03),
+                       0.04 + rng.uniform(-0.03, 0.03)])
+        rA = scenes.render_translated(depA, maskA, K, tA)
+        rB = scenes.render_translated(depB, maskB, K, tB)
+        d, _, g = scenes.merge_scenes([rA, rB])
+        depths.append(d)
+        rgbs.append(np.repeat(g[..., None], 3, axis=2))
     depths_d = jnp.asarray(np.stack(depths))
     rgbs_d = jnp.asarray(np.stack(rgbs))
 
@@ -122,7 +131,7 @@ def main():
     match_prog = mp.make_match_program(
         pd.detector.modality_names, pd.detector.t_at_level, (H, W),
         pd.detector.dn_params, pd.detector.cg_params,
-        max_candidates=8, max_dr=max_dr, refine_impl="pallas", batch=B,
+        max_candidates=16, max_dr=max_dr, refine_impl="pallas", batch=B,
     )
     margs = (
         [rgbs_d, depths_d],
@@ -143,7 +152,7 @@ def main():
     prog = dp_mod.make_detect_program(
         pd.detector.modality_names, pd.detector.t_at_level, (H, W),
         pd.detector.dn_params, pd.detector.cg_params, K,
-        max_candidates=8, max_dr=max_dr, refine_impl="pallas",
+        max_candidates=16, max_dr=max_dr, refine_impl="pallas",
         icp=pd.params.icp, batch=B, flat_output=True,
     )
 
@@ -152,6 +161,22 @@ def main():
         return prog(sources, *bank_args, views, jnp.float32(80.0) + eps)
 
     device_time("detect_full_b16", detect_fn, margs + (views,), iters=6,
+                floor=floor)
+
+    # --- streaming tick shape: same program at B=4 ---
+    prog4 = dp_mod.make_detect_program(
+        pd.detector.modality_names, pd.detector.t_at_level, (H, W),
+        pd.detector.dn_params, pd.detector.cg_params, K,
+        max_candidates=16, max_dr=max_dr, refine_impl="pallas",
+        icp=pd.params.icp, batch=4, flat_output=True,
+    )
+    margs4 = ([rgbs_d[:4], depths_d[:4]],) + margs[1:]
+
+    def detect4_fn(sources, *rest):
+        *bank_args, views, eps = rest
+        return prog4(sources, *bank_args, views, jnp.float32(80.0) + eps)
+
+    device_time("detect_full_b4", detect4_fn, margs4 + (views,), iters=8,
                 floor=floor)
 
     # end-to-end single-call comparison (includes transfer + host NMS)
