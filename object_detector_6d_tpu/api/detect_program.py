@@ -159,6 +159,7 @@ def make_detect_program(
     """
     from object_detector_6d_tpu.geom.backproject import depth_to_3d
     from object_detector_6d_tpu.geom.normals import FalsNormals
+    from object_detector_6d_tpu.ops import geometry_pallas as gp
 
     icp = icp or ICPParams(iterations=100)
     H, W = frame_shape
@@ -190,6 +191,33 @@ def make_detect_program(
         i for i, n in enumerate(modality_names) if n != "ColorGradient"
     )
 
+    # geometry stage, hoisted OUT of the per-frame vmap: on the pallas
+    # path one fused kernel produces cloud+normals+pack for the whole
+    # frame batch (ops/geometry_pallas.py — the XLA composition costs
+    # ~0.58 ms/frame in HBM round trips); the conv path and the mesh
+    # path keep the XLA composition (a pallas_call under shard_map /
+    # vmap is not supported)
+    use_fused_geom = refine_impl == "pallas" and H % gp.RB == 0
+    fscene = gp.FusedScene(H, W, K_mat) if use_fused_geom else None
+
+    def geometry_xla(depths):
+        """[B, H, W] u16 -> (z_img [B, H, W], scene [B, H*W, 7])."""
+        def one(d):
+            cloud = depth_to_3d(d, Kj)
+            s7 = pack_scene7(jnp.concatenate([cloud, est(cloud)], -1))
+            return cloud[..., 2], s7
+        return jax.vmap(one)(depths)
+
+    def geometry_b(depths):
+        """[B, H, W] u16 -> (z_img [B, H, W], scene [B, H*W, 7 or 8])."""
+        if not use_fused_geom:
+            return geometry_xla(depths)
+        planes = fscene(depths, interpret=pallas_interpret)  # [B, 8, H, W]
+        z_img = planes[:, 2]
+        scene = jnp.nan_to_num(planes.reshape(planes.shape[0], 8, -1)
+                               ).transpose(0, 2, 1)
+        return z_img, scene
+
     all_levels = list(range((icp.num_levels) - 1, -1, -1))
     # Phase split: the COARSEST level alone runs on every (candidate,
     # seed) lane; every remaining level runs on the K surviving lanes.
@@ -211,17 +239,17 @@ def make_detect_program(
     # the convergence tail several iterations earlier per level.
     proj_tol = 3e-4
 
-    def lift(depth_u16, packed, views: PackedViews):
-        """Single frame: [5, K+1] match arrays -> ICP-ready hypotheses."""
+    def lift(z_img, scene7, packed, views: PackedViews):
+        """Single frame: [5, K+1] match arrays -> ICP-ready hypotheses.
+
+        ``z_img`` / ``scene7`` come from the batch-hoisted geometry
+        stage (``geometry_b``); scene rows may carry a zero pad column
+        (the fused kernel's 32-byte layout) — every consumer indexes
+        columns explicitly."""
         xs = packed[0, :-1].astype(jnp.int32)
         ys = packed[1, :-1].astype(jnp.int32)
         tids = packed[3, :-1].astype(jnp.int32)
         keep = packed[4, :-1] > 0
-
-        cloud = depth_to_3d(depth_u16, Kj)
-        scene6 = jnp.concatenate([cloud, est(cloud)], -1)
-        z_img = cloud[..., 2]
-        scene7 = pack_scene7(scene6)
 
         # --- multi-depth lift: window depth quantiles per candidate ---
         bw = views.bbox_wh[tids, 0]
@@ -277,7 +305,7 @@ def make_detect_program(
         n_model_valid = jnp.maximum(
             jnp.isfinite(models[..., 0]).sum(-1).astype(jnp.float32), 1.0
         )  # [K]
-        return scene7, tids, keep, seed_ok, pose0, models, n_model_valid
+        return tids, keep, seed_ok, pose0, models, n_model_valid
 
     def icp_coarse(scene7, flat_models, flat_poses):
         """Phase 1: coarse levels over any number of hypothesis lanes."""
@@ -321,16 +349,17 @@ def make_detect_program(
             )
         )(models, poses)
 
-    def lift_and_refine(depth_u16, packed, views: PackedViews):
+    def lift_and_refine(z_img, scene7, packed, views: PackedViews):
         """Single frame: [5, K+1] match arrays -> refined poses [K].
 
-        Two-phase ICP: coarse pyramid levels refine every (candidate,
-        depth-seed) lane on cheap model subsamples; each candidate's
-        best seed is then selected and only K lanes pay for the
-        expensive fine levels (the finest level sweeps the full model
-        cloud, ~75% of the point-iterations)."""
-        scene7, tids, keep, seed_ok, pose0, models, n_model_valid = lift(
-            depth_u16, packed, views
+        Two-phase ICP with a one-level seed phase: the COARSEST pyramid
+        level refines every (candidate, depth-seed) lane on a cheap
+        model subsample; each candidate's best seed is then selected
+        and only K lanes pay for every remaining level (the finest
+        level sweeps the full model cloud, ~75% of the
+        point-iterations)."""
+        tids, keep, seed_ok, pose0, models, n_model_valid = lift(
+            z_img, scene7, packed, views
         )
         flat_models = jnp.broadcast_to(
             models[:, None], (K_cap, S) + models.shape[1:]
@@ -359,7 +388,7 @@ def make_detect_program(
                           mask=keep_out[:, None, None])
         return final, best_res, keep_out
 
-    def lift_and_refine_sharded(depth_u16, packed, views: PackedViews):
+    def lift_and_refine_sharded(z_img, scene7, packed, views: PackedViews):
         """Per-device variant: this device refines only its slice of the
         hypothesis lanes (the SP-analog axis of SURVEY.md section 2.3 —
         hypotheses shard over ``model``); two small all_gathers merge the
@@ -368,8 +397,8 @@ def make_detect_program(
         (cheaper than communicating an [H*W, 7] scene)."""
         tp = mesh.shape["model"]
         mi = jax.lax.axis_index("model")
-        scene7, tids, keep, seed_ok, pose0, models, n_model_valid = lift(
-            depth_u16, packed, views
+        tids, keep, seed_ok, pose0, models, n_model_valid = lift(
+            z_img, scene7, packed, views
         )
         lanes1 = (K_cap * S) // tp
         flat_models = jnp.broadcast_to(
@@ -415,9 +444,11 @@ def make_detect_program(
             )
 
         refine_sharded = shard_map(
-            lambda depths, packed, views: jax.vmap(
-                lambda d, p: lift_and_refine_sharded(d, p, views)
-            )(depths, packed),
+            lambda depths, packed, views: (
+                lambda zs: jax.vmap(
+                    lambda z, s7, p: lift_and_refine_sharded(z, s7, p, views)
+                )(zs[0], zs[1], packed)
+            )(geometry_xla(depths)),
             mesh=mesh,
             in_specs=(P("data"), P("data"), P()),
             out_specs=(P("data"), P("data"), P("data")),
@@ -462,11 +493,14 @@ def make_detect_program(
         )
         depth = sources[depth_idx]
         if batch is None:
-            poses, res, keep = lift_and_refine(depth, packed, views)
+            z_img_b, scene_b = geometry_b(depth[None])
+            poses, res, keep = lift_and_refine(
+                z_img_b[0], scene_b[0], packed, views)
         else:
+            z_img_b, scene_b = geometry_b(depth)
             poses, res, keep = jax.vmap(
-                lambda d, p: lift_and_refine(d, p, views)
-            )(depth, packed)
+                lambda z, s7, p: lift_and_refine(z, s7, p, views)
+            )(z_img_b, scene_b, packed)
         if flat_output:
             return flatten_outputs(packed, poses, res, keep, K_cap)
         return packed, poses, res, keep

@@ -331,6 +331,113 @@ class PoseDetector:
         return (flat_dev, B, K_cap, bank, depths, rgbs, K, class_ids,
                 match_threshold)
 
+    def detect_fused_dispatch_multi(
+        self,
+        depths_g,  # [G, B, H, W] u16
+        K: np.ndarray,
+        rgbs_g=None,  # [G, B, H, W, 3] u8
+        class_ids: Optional[Sequence[str]] = None,
+        match_threshold: Optional[float] = None,
+    ):
+        """Dispatch G frame batches as ONE device execution.
+
+        A ``lax.scan`` over the G axis runs the fused detect program G
+        times inside a single execution, so a remote-PJRT host pays the
+        per-execution tunnel round trip (~31 ms serialized — see
+        ARCHITECTURE.md) once per G*B frames instead of once per B.
+        Batching latency grows accordingly: a throughput deployment
+        shape, not a low-latency one. Finalize with
+        :meth:`detect_fused_finalize_multi`."""
+        from object_detector_6d_tpu.api import detect_program as dp
+
+        G, B = depths_g.shape[:2]
+        p = self.params
+        threshold = (p.match_threshold if match_threshold is None
+                     else match_threshold)
+        bank = self.detector.get_bank(class_ids)
+        if bank is None:
+            return ("empty", G, B)
+        cache = self.detector._kernel_cache
+        vkey = ("views", self.detector.bank_version, len(self.views),
+                self.model_points, 1)
+        views = cache.get(vkey)
+        if views is None:
+            views = dp.pack_views(bank, self.views, self.model_points)
+            cache[vkey] = views
+        H, W = depths_g.shape[2:4]
+        kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
+        max_dr = ((bank.max_dr // 16) + 1) * 16
+        K_cap = max(8, p.max_hypotheses)
+        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False)
+        prog = cache.get(pkey)
+        if prog is None:
+            import jax
+
+            refine_impl = "pallas" if jax.default_backend() == "tpu" else "conv"
+            prog = dp.make_detect_program(
+                self.detector.modality_names, self.detector.t_at_level,
+                (H, W), self.detector.dn_params, self.detector.cg_params,
+                np.asarray(K, np.float64), max_candidates=K_cap,
+                max_dr=max_dr, refine_impl=refine_impl, icp=p.icp,
+                lift_window=self.scene_window, batch=B, flat_output=True,
+            )
+            cache[pkey] = prog
+        mkey = ("detect_prog_multi", pkey, G)
+        mprog = cache.get(mkey)
+        if mprog is None:
+            import jax
+
+            @jax.jit
+            def mprog(sources_g, *rest):
+                def body(_, src):
+                    return None, prog(src, *rest)
+                _, flats = jax.lax.scan(body, None, sources_g)
+                return flats
+
+            cache[mkey] = mprog
+        sources_g = []
+        for name in self.detector.modality_names:
+            if name == "ColorGradient":
+                if rgbs_g is None:
+                    raise ValueError("ColorGradient modality requires rgb")
+                sources_g.append(jnp.asarray(rgbs_g))
+            else:
+                sources_g.append(jnp.asarray(depths_g))
+        akey = ("bank_args", self.detector.bank_version, id(bank))
+        bank_args = cache.get(akey)
+        if bank_args is None:
+            bank_args = (
+                bank.kernels_low, bank.kernels_dec,
+                (bank.feat_plane, bank.feat_dr, bank.feat_dc, bank.feat_n),
+                jnp.asarray(bank.nfeat[0]), jnp.asarray(bank.nfeat[1]),
+                jnp.asarray(bank.sizes[0]), jnp.asarray(bank.sizes[1]),
+            )
+            cache[akey] = bank_args
+        tkey = ("thr", float(threshold))
+        thr_dev = cache.get(tkey)
+        if thr_dev is None:
+            thr_dev = jnp.float32(threshold)
+            cache[tkey] = thr_dev
+        flats = mprog(sources_g, *bank_args, views, thr_dev)  # [G, B, F]
+        return ("multi", flats, G, B, K_cap, bank, depths_g, rgbs_g, K,
+                class_ids, match_threshold)
+
+    def detect_fused_finalize_multi(self, handle) -> List[List[List[Pose]]]:
+        """One transfer + host post-processing for a multi-dispatch."""
+        if handle[0] == "empty":
+            return [[[] for _ in range(handle[2])] for _ in range(handle[1])]
+        (_tag, flats, G, B, K_cap, bank, depths_g, rgbs_g, K, class_ids,
+         match_threshold) = handle
+        big = np.asarray(flats)
+        out = []
+        for g in range(G):
+            sub = (None, B, K_cap, bank,
+                   None if depths_g is None else depths_g[g],
+                   None if rgbs_g is None else rgbs_g[g],
+                   K, class_ids, match_threshold)
+            out.append(self._finalize_host(big[g], sub))
+        return out
+
     def detect_fused_finalize(self, handle) -> List[List[Pose]]:
         """Block on a :meth:`detect_fused_dispatch` handle and run the
         host-side post-processing (unpack, scoring, cluster NMS)."""

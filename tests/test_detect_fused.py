@@ -86,3 +86,28 @@ def test_fused_batch_two_frames():
         assert poses, "no detections in batched frame"
         t = poses[0].pose[:3, 3]
         assert np.all(np.abs(t - t_true) < 0.01), (t, t_true)
+
+
+def test_fused_dispatch_multi_equals_batches():
+    """ONE scanned execution over G frame batches == per-batch calls.
+
+    detect_fused_dispatch_multi exists for remote-PJRT throughput (one
+    ~31 ms tunnel round trip per G*B frames); results must be identical
+    to G separate detect_fused_batch calls."""
+    det, K, dep, gray, mask = _trained()
+    ts = [np.array([0.055, -0.022, -0.04]), np.array([-0.03, 0.04, 0.02]),
+          np.array([0.01, 0.05, -0.02]), np.array([-0.05, -0.03, 0.03])]
+    frames = [scenes.render_translated(dep, mask, K, t) for t in ts]
+    depths = np.stack([f[0] for f in frames]).reshape(2, 2, 480, 640)
+    rgbs = np.stack([_bgr(f[2]) for f in frames]).reshape(2, 2, 480, 640, 3)
+
+    ref = [det.detect_fused_batch(depths[g], K, rgbs[g]) for g in range(2)]
+    multi = det.detect_fused_finalize_multi(
+        det.detect_fused_dispatch_multi(depths, K, rgbs))
+    assert len(multi) == 2
+    for g in range(2):
+        for b in range(2):
+            assert len(multi[g][b]) == len(ref[g][b]) > 0
+            for p, q in zip(multi[g][b], ref[g][b]):
+                assert p.class_id == q.class_id
+                np.testing.assert_allclose(p.pose, q.pose, atol=1e-6)

@@ -163,6 +163,25 @@ def main():
     device_time("detect_full_b16", detect_fn, margs + (views,), iters=6,
                 floor=floor)
 
+    # --- headline scaling: B=32 and B=64 ---
+    for BB in (32, 64):
+        progB = dp_mod.make_detect_program(
+            pd.detector.modality_names, pd.detector.t_at_level, (H, W),
+            pd.detector.dn_params, pd.detector.cg_params, K,
+            max_candidates=16, max_dr=max_dr, refine_impl="pallas",
+            icp=pd.params.icp, batch=BB, flat_output=True,
+        )
+        reps = BB // B
+        margsB = ([jnp.concatenate([rgbs_d] * reps),
+                   jnp.concatenate([depths_d] * reps)],) + margs[1:]
+
+        def detectB_fn(sources, *rest, _p=progB):
+            *bank_args, views, eps = rest
+            return _p(sources, *bank_args, views, jnp.float32(80.0) + eps)
+
+        device_time(f"detect_full_b{BB}", detectB_fn, margsB + (views,),
+                    iters=4, floor=floor)
+
     # --- streaming tick shape: same program at B=4 ---
     prog4 = dp_mod.make_detect_program(
         pd.detector.modality_names, pd.detector.t_at_level, (H, W),
