@@ -160,7 +160,7 @@ def build_detector(jnp):
     return pd, K, make_frames
 
 
-def bench_detect(jax, jnp, pd, K, make_frames, B=32, n_pipe=12):
+def bench_detect(jax, jnp, pd, K, make_frames, B=32, G=4, n_multi=6):
     # 4 distinct device-resident frame batches (the streaming model
     # uploads each frame once; re-uploading per call would measure the
     # remote tunnel's ~30 MB/s, not the chip)
@@ -184,27 +184,38 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=32, n_pipe=12):
     seq_fps = 4 * B / dt
     log(f"detect sequential: {dt/4*1e3:.1f} ms/batch of {B} -> {seq_fps:.1f} fps")
 
-    def pipelined(n, group=4):
-        """Dispatch everything; retrieve results in groups (ONE RPC
-        round trip per group — detect_fused_finalize_many)."""
+    # multi-batch scanned executions: ONE device execution runs G
+    # batches (lax.scan) and ONE transfer returns their results — the
+    # tunnel's ~31 ms serialized round trip amortizes over G*B frames.
+    # Throughput deployment shape (batching latency G*B frames).
+    multis = []
+    for m in range(2):
+        dg = jnp.stack([inputs[(2 * m + g) % 4][0] for g in range(G)])
+        rg = jnp.stack([inputs[(2 * m + g) % 4][1] for g in range(G)])
+        multis.append((dg, rg))
+    t0 = time.time()
+    pd.detect_fused_finalize_multi(
+        pd.detect_fused_dispatch_multi(multis[0][0], K, multis[0][1]))
+    log(f"detect multi compile+first: {time.time()-t0:.1f}s")
+
+    def run(n):
         t0 = time.time()
-        handles = [
-            pd.detect_fused_dispatch(inputs[i % 4][0], K, inputs[i % 4][1])
-            for i in range(n)
-        ]
-        for i in range(0, n, group):
-            pd.detect_fused_finalize_many(handles[i:i + group])
+        hs = [pd.detect_fused_dispatch_multi(multis[i % 2][0], K,
+                                             multis[i % 2][1])
+              for i in range(n)]
+        for h in hs:
+            pd.detect_fused_finalize_multi(h)
         return time.time() - t0
 
-    pipelined(4)  # warm the dispatch path AND the group-4 stack program
-    t4 = pipelined(4)
-    t_full = pipelined(n_pipe)
-    pipe_fps = n_pipe * B / t_full
-    marginal_ms = (t_full - t4) / (n_pipe - 4) * 1e3
+    run(1)  # steady-state warmup
+    t2 = run(2)
+    tn = run(n_multi)
+    pipe_fps = n_multi * G * B / tn
+    marginal_ms = (tn - t2) / (n_multi - 2) / G * 1e3
     dev_fps = B / (marginal_ms / 1e3)
-    log(f"detect pipelined: {t_full/n_pipe*1e3:.1f} ms/batch of {B} "
-        f"-> {pipe_fps:.1f} fps (marginal {marginal_ms:.1f} ms/batch "
-        f"-> {dev_fps:.1f} fps device rate)")
+    log(f"detect multi-pipelined: {tn/(n_multi*G)*1e3:.1f} ms/batch of {B} "
+        f"(G={G} batches/execution) -> {pipe_fps:.1f} fps "
+        f"(marginal {marginal_ms:.1f} ms/batch -> {dev_fps:.1f} fps rate)")
     return pipe_fps, seq_fps, marginal_ms, dev_fps, per_class
 
 
@@ -249,30 +260,40 @@ def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
         f"{dt/n_ticks*1e3:.1f} ms/tick -> {tickwise_fps:.1f} fps aggregate "
         f"tick-wise (target 4x30 = 120)")
 
-    # 2-tick batched executions (B = 2 x n_cam): the tunnel serializes a
-    # ~31 ms round trip per EXECUTION, so a 4-frame execution cannot
-    # exceed ~90 fps aggregate regardless of device speed (measured
-    # 44 ms/tick = 31 RTT + 13 device). Batching two consecutive ticks
-    # per execution amortizes the RTT across 8 frames (+33 ms result
-    # latency at 30 FPS camera rate) — the deployment configuration for
-    # tunnel-attached hosts. Locally-attached PJRT pays no RTT and runs
-    # tick-wise at device speed (13.1 ms/tick -> ~305 fps aggregate).
-    pairs = [make_frames(2 * n_cam, 200 + s) for s in range(4)]
-    warm = [pd.detect_fused_dispatch(pairs[i % 4][0], K, pairs[i % 4][1])
-            for i in range(4)]
-    pd.detect_fused_finalize_many(warm)
-    n_pairs = 12
+    # multi-tick scanned executions (G=4 ticks per device execution,
+    # one transfer per execution): the tunnel serializes a ~31 ms round
+    # trip per EXECUTION, so a 4-frame execution cannot exceed ~90 fps
+    # aggregate regardless of device speed (measured 44 ms/tick = 31 RTT
+    # + 13 device). Scanning 4 consecutive ticks inside one execution
+    # amortizes the RTT (+100 ms result latency at 30 FPS camera rate) —
+    # the deployment configuration for tunnel-attached hosts. A
+    # locally-attached PJRT runs tick-wise at device speed (13.1 ms/tick
+    # -> ~305 fps aggregate, tools/prof_detect.py detect_full_b4).
+    Gt = 4
+    tick_multis = []
+    for m in range(2):
+        dg = jnp.stack([ticks[(2 * m + g) % 4][0] for g in range(Gt)])
+        rg = jnp.stack([ticks[(2 * m + g) % 4][1] for g in range(Gt)])
+        tick_multis.append((dg, rg))
     t0 = time.time()
-    handles = [
-        pd.detect_fused_dispatch(pairs[i % 4][0], K, pairs[i % 4][1])
-        for i in range(n_pairs)
-    ]
-    for i in range(0, n_pairs, 4):
-        pd.detect_fused_finalize_many(handles[i:i + 4])
+    pd.detect_fused_finalize_multi(
+        pd.detect_fused_dispatch_multi(tick_multis[0][0], K,
+                                       tick_multis[0][1]))
+    log(f"streaming multi compile+first: {time.time()-t0:.1f}s")
+    n_m = 8
+    hs = [pd.detect_fused_dispatch_multi(tick_multis[0][0], K,
+                                         tick_multis[0][1])]
+    pd.detect_fused_finalize_multi(hs[0])  # steady-state warmup
+    t0 = time.time()
+    hs = [pd.detect_fused_dispatch_multi(tick_multis[i % 2][0], K,
+                                         tick_multis[i % 2][1])
+          for i in range(n_m)]
+    for h in hs:
+        pd.detect_fused_finalize_multi(h)
     dt = time.time() - t0
-    agg_fps = n_pairs * 2 * n_cam / dt
-    log(f"streaming 2-tick batching: {dt/n_pairs*1e3:.1f} ms per 2-tick "
-        f"execution -> {agg_fps:.1f} fps aggregate (target 120)")
+    agg_fps = n_m * Gt * n_cam / dt
+    log(f"streaming {Gt}-tick scanned executions: {dt/(n_m*Gt)*1e3:.1f} ms/tick "
+        f"-> {agg_fps:.1f} fps aggregate (target 120)")
     return agg_fps, tickwise_fps, tick_ms
 
 
@@ -296,7 +317,7 @@ def main():
             {
                 "metric": "full detect() 640x480, 122-template bank, "
                           "2 object classes/frame, 16 hyp x 3 seeds, "
-                          "batch 32 pipelined",
+                          "batch 32, 4-batch scanned executions",
                 "value": round(pipe_fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(pipe_fps / CPU_DETECT_FPS, 2),
@@ -310,7 +331,7 @@ def main():
                     "match_1200_vs_cpu": round(
                         match_1200 / CPU_MATCH_1200_FPS, 2),
                     "streaming_4cam_fps": round(stream_fps, 2),
-                    "streaming_mode": "2-tick batching (B=8), group-4 retrieval",
+                    "streaming_mode": "4-tick scanned executions (one tunnel round trip per 16 frames)",
                     "streaming_tickwise_fps": round(tickwise_fps, 2),
                     "streaming_tick_ms": round(tick_ms, 2),
                     "detections_per_class_16f": per_class,
