@@ -184,6 +184,28 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=32, G=4, n_multi=6):
     seq_fps = 4 * B / dt
     log(f"detect sequential: {dt/4*1e3:.1f} ms/batch of {B} -> {seq_fps:.1f} fps")
 
+    # grouped-retrieval pipelining: dispatch every batch up front,
+    # retrieve results in groups of 4 (ONE transfer round trip per
+    # group, detect_fused_finalize_many). When the tunnel pipelines
+    # executions well this mode wins; when it serializes them the
+    # scanned-execution mode below wins — the headline takes the max.
+    def pipelined(n, group=4):
+        t0 = time.time()
+        handles = [
+            pd.detect_fused_dispatch(inputs[i % 4][0], K, inputs[i % 4][1])
+            for i in range(n)
+        ]
+        for i in range(0, n, group):
+            pd.detect_fused_finalize_many(handles[i:i + group])
+        return time.time() - t0
+
+    pipelined(4)  # warm the dispatch path and the group-stack program
+    t4 = pipelined(4)
+    t12 = pipelined(12)
+    group_fps = 12 * B / t12
+    log(f"detect group-pipelined: {t12/12*1e3:.1f} ms/batch of {B} "
+        f"-> {group_fps:.1f} fps (marginal {(t12-t4)/8*1e3:.1f} ms/batch)")
+
     # multi-batch scanned executions: ONE device execution runs G
     # batches (lax.scan) and ONE transfer returns their results — the
     # tunnel's ~31 ms serialized round trip amortizes over G*B frames.
@@ -210,13 +232,14 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=32, G=4, n_multi=6):
     run(1)  # steady-state warmup
     t2 = run(2)
     tn = run(n_multi)
-    pipe_fps = n_multi * G * B / tn
+    multi_fps = n_multi * G * B / tn
     marginal_ms = (tn - t2) / (n_multi - 2) / G * 1e3
     dev_fps = B / (marginal_ms / 1e3)
     log(f"detect multi-pipelined: {tn/(n_multi*G)*1e3:.1f} ms/batch of {B} "
-        f"(G={G} batches/execution) -> {pipe_fps:.1f} fps "
+        f"(G={G} batches/execution) -> {multi_fps:.1f} fps "
         f"(marginal {marginal_ms:.1f} ms/batch -> {dev_fps:.1f} fps rate)")
-    return pipe_fps, seq_fps, marginal_ms, dev_fps, per_class
+    pipe_fps = max(group_fps, multi_fps)
+    return pipe_fps, seq_fps, marginal_ms, dev_fps, per_class, group_fps, multi_fps
 
 
 def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
@@ -307,8 +330,8 @@ def main():
     match_1200 = bench_match(jax, jnp, n_classes=12, per_class=100,
                              label="1200tpl")
     pd, K, make_frames = build_detector(jnp)
-    pipe_fps, seq_fps, marginal_ms, dev_fps, per_class = bench_detect(
-        jax, jnp, pd, K, make_frames)
+    (pipe_fps, seq_fps, marginal_ms, dev_fps, per_class, group_fps,
+     multi_fps) = bench_detect(jax, jnp, pd, K, make_frames)
     stream_fps, tickwise_fps, tick_ms = bench_streaming(jax, jnp, pd, K,
                                                         make_frames)
 
@@ -317,12 +340,14 @@ def main():
             {
                 "metric": "full detect() 640x480, 122-template bank, "
                           "2 object classes/frame, 16 hyp x 3 seeds, "
-                          "batch 32, 4-batch scanned executions",
+                          "batch 32 pipelined (best retrieval mode)",
                 "value": round(pipe_fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(pipe_fps / CPU_DETECT_FPS, 2),
                 "detail": {
                     "detect_sequential_fps": round(seq_fps, 2),
+                    "detect_group_pipelined_fps": round(group_fps, 2),
+                    "detect_multi_scan_fps": round(multi_fps, 2),
                     "detect_marginal_ms_batch": round(marginal_ms, 2),
                     "detect_device_fps": round(dev_fps, 2),
                     "match_only_fps_120tpl": round(match_fps, 2),
