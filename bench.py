@@ -317,7 +317,17 @@ def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
     agg_fps = n_m * Gt * n_cam / dt
     log(f"streaming {Gt}-tick scanned executions: {dt/(n_m*Gt)*1e3:.1f} ms/tick "
         f"-> {agg_fps:.1f} fps aggregate (target 120)")
-    return agg_fps, tickwise_fps, tick_ms
+    # Both modes are tick-shaped 4-camera measurements; report the best as
+    # the config-5 number (tick-wise pipelining dispatches one tick per
+    # call — lower latency; scanned executions amortize the tunnel RTT —
+    # higher throughput when the RTT dominates).
+    if tickwise_fps >= agg_fps:
+        mode = "tick-wise pipelined (one dispatch per 4-camera tick)"
+        best = tickwise_fps
+    else:
+        mode = "4-tick scanned executions (one tunnel round trip per 16 frames)"
+        best = agg_fps
+    return best, mode, agg_fps, tickwise_fps, tick_ms
 
 
 def main():
@@ -332,8 +342,8 @@ def main():
     pd, K, make_frames = build_detector(jnp)
     (pipe_fps, seq_fps, marginal_ms, dev_fps, per_class, group_fps,
      multi_fps) = bench_detect(jax, jnp, pd, K, make_frames)
-    stream_fps, tickwise_fps, tick_ms = bench_streaming(jax, jnp, pd, K,
-                                                        make_frames)
+    (stream_fps, stream_mode, scan_fps, tickwise_fps,
+     tick_ms) = bench_streaming(jax, jnp, pd, K, make_frames)
 
     print(
         json.dumps(
@@ -356,7 +366,8 @@ def main():
                     "match_1200_vs_cpu": round(
                         match_1200 / CPU_MATCH_1200_FPS, 2),
                     "streaming_4cam_fps": round(stream_fps, 2),
-                    "streaming_mode": "4-tick scanned executions (one tunnel round trip per 16 frames)",
+                    "streaming_mode": stream_mode,
+                    "streaming_scan_fps": round(scan_fps, 2),
                     "streaming_tickwise_fps": round(tickwise_fps, 2),
                     "streaming_tick_ms": round(tick_ms, 2),
                     "detections_per_class_16f": per_class,
