@@ -19,8 +19,10 @@ the device:
             -> best-seed selection per candidate by ICP residual
             -> packed poses/residuals/scores [K]
 
-Host post-processing is only Pose-list construction + pose-cluster NMS
-(refine/pose.py), exactly as in the host path.
+With ``device_nms=True`` (the production pipeline path) hypothesis
+scoring + pose-cluster NMS also run on device (make_cluster_stage, the
+exact refine/pose.py cluster_poses semantics) and host post-processing
+is only unpacking the few final cluster records into Pose objects.
 
 The template bank side inputs (model clouds, anchors, bboxes, view
 poses) are packed once per bank by ``pack_views`` in the same global
@@ -113,6 +115,137 @@ def unflatten_outputs(flat: np.ndarray, K_cap: int):
     return packed, poses, res, keep
 
 
+CLUSTER_SLOT = 24  # per-cluster f32 record width (see make_cluster_stage)
+
+
+def make_cluster_stage(K_cap: int, rot_thr_rad: float = float(np.deg2rad(15.0))):
+    """Device-side hypothesis scoring + greedy pose-cluster NMS.
+
+    Reproduces the host path's semantics exactly (refine/pose.py
+    cluster_poses + PoseCluster.mean_pose — ppf_match_3d clusterPoses):
+    filter (keep & finite & residual <= max_residual), sort by
+    (-votes, residual), greedily merge each pose into the FIRST existing
+    cluster whose representative is within both thresholds (same class),
+    then average each cluster (hemisphere-aligned quaternion mean +
+    translation mean) and sort clusters by total votes.
+
+    Running this on device leaves only ~2 tiny cluster records per frame
+    for the host to unpack: the per-frame Python Pose/NMS loop was the
+    throughput bottleneck of the pipelined fused path (a 1-core host
+    finalizing 128 frames per multi-execution ran at ~5 ms/frame while
+    the chip needed 2.6 — tools/prof_detect.py vs BENCH_r02 marginal).
+
+    Returns ``cluster(packed, poses, res, keep, cls_of_tid, nms_scalars)
+    -> flat [K_cap*CLUSTER_SLOT + 2]`` for ONE frame; vmap for batches.
+    ``cls_of_tid`` maps global template id -> class index;
+    ``nms_scalars = [max_residual, translation_threshold]`` (f32 [2]).
+    Slot layout: [valid, votes_total, sim_max, rep_tid, rep_x, rep_y,
+    residual_mean, n_members, pose 4x4 row-major]; trailer
+    [n_raw_candidates, n_poses_pre_nms].
+    """
+    from object_detector_6d_tpu.core.se3 import SE3
+
+    K = K_cap
+    cos_half = np.float32(np.cos(rot_thr_rad / 2.0))
+    ar = jnp.arange(K)
+
+    def cluster(packed, poses, res, keep, cls_of_tid, nms_scalars):
+        max_residual, trans_thr = nms_scalars[0], nms_scalars[1]
+        sim = jnp.nan_to_num(packed[2, :-1])
+        votes = jnp.round(sim * 100.0).astype(jnp.int32)
+        tids = packed[3, :-1].astype(jnp.int32)
+        xs = packed[0, :-1]
+        ys = packed[1, :-1]
+        cls = cls_of_tid[tids]
+        valid = keep & jnp.isfinite(res) & (res <= max_residual)
+
+        # stable sort by (-votes, residual): residual ranks (stable ties
+        # by lane index) packed under the vote key
+        rank_res = jnp.argsort(jnp.argsort(jnp.where(valid, res, jnp.inf)))
+        key = jnp.where(valid, votes * K + (K - 1 - rank_res), -1)
+        order = jnp.argsort(-key)  # stable: equal keys keep lane order
+
+        valid_s = valid[order]
+        q_all = SE3.to_quat(poses)
+        q_s = jnp.where(valid_s[:, None], jnp.nan_to_num(q_all[order]), 0.0)
+        t_s = jnp.where(valid_s[:, None], jnp.nan_to_num(poses[order, :3, 3]), 0.0)
+        res_s = jnp.where(valid_s, jnp.nan_to_num(res[order]), 0.0)
+        sim_s = jnp.where(valid_s, sim[order], 0.0)
+        votes_s = jnp.where(valid_s, votes[order], 0)
+        cls_s = cls[order]
+        tid_s = tids[order]
+        x_s = xs[order]
+        y_s = ys[order]
+
+        # pairwise compatibility (rotation via quaternion dot:
+        # angle <= thr  <=>  |q_i . q_j| >= cos(thr/2))
+        qd = jnp.abs(q_s @ q_s.T) >= cos_half
+        td = jnp.linalg.norm(t_s[:, None] - t_s[None, :], axis=-1) <= trans_thr
+        compat0 = (qd & td & (cls_s[:, None] == cls_s[None, :])
+                   & valid_s[:, None] & valid_s[None, :])
+
+        # greedy first-fit (unrolled: K is small and static)
+        is_rep = jnp.zeros(K, bool)
+        cluster_of = jnp.full(K, -1, jnp.int32)
+        for i in range(K):
+            compat = compat0[i] & (ar < i) & is_rep
+            has = compat.any()
+            j0 = jnp.argmax(compat)  # first True (argmax returns first max)
+            vi = valid_s[i]
+            is_rep = is_rep.at[i].set(vi & ~has)
+            cluster_of = cluster_of.at[i].set(
+                jnp.where(vi, jnp.where(has, j0, i), -1))
+
+        # per-cluster aggregation ([rep j, member i] membership matrix)
+        M = (cluster_of[None, :] == ar[:, None]) & valid_s[None, :]
+        Mf = M.astype(res_s.dtype)
+        cnt = Mf.sum(-1)
+        denom = jnp.maximum(cnt, 1.0)
+        votes_tot = (M * votes_s[None, :]).sum(-1)
+        res_mean = (Mf * res_s[None, :]).sum(-1) / denom
+        sim_max = jnp.max(jnp.where(M, sim_s[None, :], -jnp.inf), -1)
+        sign = jnp.sign(q_s @ q_s.T)
+        sign = jnp.where(sign == 0, 1.0, sign)  # hemisphere-align to rep
+        q_mean = ((Mf * sign)[..., None] * q_s[None, :, :]).sum(1)
+        q_mean = q_mean / jnp.maximum(
+            jnp.linalg.norm(q_mean, axis=-1, keepdims=True), 1e-32)
+        t_mean = (Mf[..., None] * t_s[None, :, :]).sum(1) / denom[:, None]
+        pose_mean = SE3.from_quat(q_mean, t_mean)
+
+        # clusters sorted by total votes (stable: creation order ties)
+        key2 = jnp.where(is_rep, votes_tot * K + (K - 1 - ar), -1)
+        ord2 = jnp.argsort(-key2)
+        slots = jnp.concatenate(
+            [
+                is_rep[ord2, None].astype(jnp.float32),
+                votes_tot[ord2, None].astype(jnp.float32),
+                jnp.where(is_rep, sim_max, 0.0)[ord2, None],
+                tid_s[ord2, None].astype(jnp.float32),
+                x_s[ord2, None],
+                y_s[ord2, None],
+                res_mean[ord2, None],
+                cnt[ord2, None],
+                pose_mean[ord2].reshape(K, 16),
+            ],
+            axis=-1,
+        )  # [K, CLUSTER_SLOT]
+        trailer = jnp.stack(
+            [packed[0, -1], valid.sum().astype(jnp.float32)])
+        return jnp.concatenate([slots.reshape(-1), trailer])
+
+    return cluster
+
+
+def unflatten_cluster_outputs(flat: np.ndarray, K_cap: int):
+    """Host inverse of make_cluster_stage's flat record.
+
+    Returns (slots [.., K, CLUSTER_SLOT], n_raw [..], n_pass [..])."""
+    lead = flat.shape[:-1]
+    slots = flat[..., : K_cap * CLUSTER_SLOT].reshape(
+        lead + (K_cap, CLUSTER_SLOT))
+    return slots, flat[..., -2], flat[..., -1]
+
+
 def make_detect_program(
     modality_names: Sequence[str],
     t_at_level: Sequence[int],
@@ -131,6 +264,7 @@ def make_detect_program(
     batch: Optional[int] = None,
     mesh=None,
     flat_output: bool = False,
+    device_nms: bool = False,
     pallas_interpret: bool = False,
 ):
     """Build the fused detect program for one (frame shape, K) pair.
@@ -149,6 +283,13 @@ def make_detect_program(
     ``flat_output=True`` concatenates the four outputs into ONE f32
     array per frame (see ``flatten_outputs``/``unflatten_outputs``) so a
     remote-PJRT host pays one transfer round trip per call, not four.
+
+    ``device_nms=True`` additionally runs hypothesis scoring + pose-
+    cluster NMS ON DEVICE (make_cluster_stage) and returns its compact
+    flat record instead; the run function then takes two extra trailing
+    arguments ``(cls_of_tid [nT] i32, nms_scalars [2] f32)`` — see
+    make_cluster_stage. This is the production pipeline path: the host
+    only unpacks the few final cluster records per frame.
 
     With ``mesh`` (a 2D (data, model) jax Mesh, parallel/sharding.py
     make_mesh) the SAME program shards: frames over ``data``, the
@@ -432,6 +573,18 @@ def make_detect_program(
         keep_out = keep & jnp.isfinite(best_res)
         return final, best_res, keep_out
 
+    cluster_stage = make_cluster_stage(K_cap) if device_nms else None
+
+    def _nms_out(packed, poses, res, keep, cls_of_tid, nms_scalars):
+        """Apply the device NMS stage ([B]-batched or single-frame)."""
+        if batch is None:
+            return cluster_stage(packed, poses, res, keep, cls_of_tid,
+                                 nms_scalars)
+        return jax.vmap(
+            lambda p, po, r, k: cluster_stage(p, po, r, k, cls_of_tid,
+                                              nms_scalars)
+        )(packed, poses, res, keep)
+
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
         from jax import shard_map
@@ -459,7 +612,7 @@ def make_detect_program(
         def run_sharded(
             sources, kernels_low, kernels_dec, feat_arrays,
             nfeat_l0, nfeat_l1, sizes_l0, sizes_l1,
-            views: PackedViews, threshold,
+            views: PackedViews, threshold, *nms_args,
         ):
             packed = match_prog(
                 sources, kernels_low, kernels_dec, feat_arrays,
@@ -468,6 +621,8 @@ def make_detect_program(
             poses, res, keep = refine_sharded(
                 sources[depth_idx], packed, views
             )
+            if device_nms:
+                return _nms_out(packed, poses, res, keep, *nms_args)
             if flat_output:
                 return flatten_outputs(packed, poses, res, keep, K_cap)
             return packed, poses, res, keep
@@ -486,6 +641,7 @@ def make_detect_program(
         sizes_l1,
         views: PackedViews,
         threshold,
+        *nms_args,
     ):
         packed = match_prog(
             sources, kernels_low, kernels_dec, feat_arrays,
@@ -501,6 +657,8 @@ def make_detect_program(
             poses, res, keep = jax.vmap(
                 lambda z, s7, p: lift_and_refine(z, s7, p, views)
             )(z_img_b, scene_b, packed)
+        if device_nms:
+            return _nms_out(packed, poses, res, keep, *nms_args)
         if flat_output:
             return flatten_outputs(packed, poses, res, keep, K_cap)
         return packed, poses, res, keep

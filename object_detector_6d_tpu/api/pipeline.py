@@ -291,7 +291,7 @@ class PoseDetector:
                 lift_window=self.scene_window,
                 batch=None if B == 1 else B,
                 mesh=mesh,
-                flat_output=True,
+                device_nms=True,
             )
             cache[pkey] = prog
         sources_b = []
@@ -327,9 +327,34 @@ class PoseDetector:
         if thr_dev is None:
             thr_dev = jnp.float32(threshold)
             cache[tkey] = thr_dev
-        flat_dev = prog(sources_b, *bank_args, views, thr_dev)
+        nms_args = self._nms_device_args(bank, K)
+        flat_dev = prog(sources_b, *bank_args, views, thr_dev, *nms_args)
         return (flat_dev, B, K_cap, bank, depths, rgbs, K, class_ids,
                 match_threshold)
+
+    def _nms_device_args(self, bank, K):
+        """Cached device args for the on-device NMS stage: the template
+        -> class-index table and the [max_residual, translation_thr]
+        scalar pair (each per-call upload costs a tunnel RPC)."""
+        cache = self.detector._kernel_cache
+        ckey = ("cls_of_tid", self.detector.bank_version, id(bank))
+        cls_dev = cache.get(ckey)
+        if cls_dev is None:
+            index: Dict[str, int] = {}
+            cls = np.empty(len(bank.class_ids), np.int32)
+            for g, cid in enumerate(bank.class_ids):
+                cls[g] = index.setdefault(cid, len(index))
+            cls_dev = jnp.asarray(cls)
+            cache[ckey] = cls_dev
+        p = self.params
+        fx = float(np.asarray(K)[0, 0])
+        trans_thr = p.nms_radius_px / fx
+        skey = ("nms_scalars", p.max_residual, trans_thr)
+        sc_dev = cache.get(skey)
+        if sc_dev is None:
+            sc_dev = jnp.asarray([p.max_residual, trans_thr], jnp.float32)
+            cache[skey] = sc_dev
+        return cls_dev, sc_dev
 
     def detect_fused_dispatch_multi(
         self,
@@ -379,7 +404,7 @@ class PoseDetector:
                 (H, W), self.detector.dn_params, self.detector.cg_params,
                 np.asarray(K, np.float64), max_candidates=K_cap,
                 max_dr=max_dr, refine_impl=refine_impl, icp=p.icp,
-                lift_window=self.scene_window, batch=B, flat_output=True,
+                lift_window=self.scene_window, batch=B, device_nms=True,
             )
             cache[pkey] = prog
         mkey = ("detect_prog_multi", pkey, G)
@@ -418,7 +443,9 @@ class PoseDetector:
         if thr_dev is None:
             thr_dev = jnp.float32(threshold)
             cache[tkey] = thr_dev
-        flats = mprog(sources_g, *bank_args, views, thr_dev)  # [G, B, F]
+        nms_args = self._nms_device_args(bank, K)
+        flats = mprog(sources_g, *bank_args, views, thr_dev,
+                      *nms_args)  # [G, B, F]
         return ("multi", flats, G, B, K_cap, bank, depths_g, rgbs_g, K,
                 class_ids, match_threshold)
 
@@ -467,19 +494,24 @@ class PoseDetector:
         return out
 
     def _finalize_host(self, flat: np.ndarray, handle) -> List[List[Pose]]:
-        """Host-side post-processing of one transferred result block."""
+        """Unpack one transferred device-NMS result block.
+
+        Scoring + cluster NMS already ran ON DEVICE (detect_program.py
+        make_cluster_stage, same semantics as refine/pose.cluster_poses
+        + mean_pose); the host only builds Pose objects for the few
+        valid cluster slots — the per-frame Python NMS loop this
+        replaces was the pipelined fused path's throughput bottleneck
+        on a 1-core host."""
         from object_detector_6d_tpu.api import detect_program as dp
 
         (_flat_dev, B, K_cap, bank, depths, rgbs, K, class_ids,
          match_threshold) = handle
-        p = self.params
-        packed, poses, res, keep = dp.unflatten_outputs(
+        slots, n_raw, n_pass = dp.unflatten_cluster_outputs(
             flat.reshape(B, -1), K_cap
         )
-        fx = float(np.asarray(K)[0, 0])  # host scalar (no device round trip)
         results: List[List[Pose]] = []
         for b in range(B):
-            if int(packed[b, 0, -1]) > K_cap:
+            if int(n_raw[b]) > K_cap:
                 # coarse-candidate overflow: host path preserves parity
                 self.counters.inc("overflow_fallback")
                 results.append(
@@ -490,33 +522,28 @@ class PoseDetector:
                 )
                 continue
             self.counters.inc("frames")
+            self.counters.inc("matches", int(n_pass[b]))
             out: List[Pose] = []
             for k in range(K_cap):
-                if not keep[b, k] or not np.isfinite(res[b, k]):
-                    continue
-                if res[b, k] > p.max_residual:  # hypothesis scoring
-                    continue
-                tid = int(packed[b, 3, k])
+                s = slots[b, k]
+                if s[0] <= 0:
+                    break  # valid clusters sort first (vote-key order)
+                tid = int(s[3])
                 out.append(
                     Pose(
-                        pose=np.asarray(poses[b, k], np.float64),
-                        residual=float(res[b, k]),
-                        num_votes=int(round(packed[b, 2, k] * 100)),
+                        pose=np.asarray(s[8:24], np.float64).reshape(4, 4),
+                        residual=float(s[6]),
+                        num_votes=int(round(s[1])),
                         class_id=bank.class_ids[tid],
                         template_id=int(bank.local_tids[tid]),
-                        match_x=int(packed[b, 0, k]),
-                        match_y=int(packed[b, 1, k]),
-                        match_similarity=float(packed[b, 2, k]),
+                        match_x=int(s[4]),
+                        match_y=int(s[5]),
+                        match_similarity=float(s[2]),
                     )
                 )
-                self.counters.observe("icp_residual", float(res[b, k]))
-            self.counters.inc("matches", len(out))
-            clusters = cluster_poses(
-                out,
-                translation_threshold=p.nms_radius_px / fx * 1.0,
-            )
-            self.counters.inc("detections", len(clusters))
-            results.append([c.mean_pose() for c in clusters])
+                self.counters.observe("icp_residual", float(s[6]))
+            self.counters.inc("detections", len(out))
+            results.append(out)
         return results
 
     def detect(

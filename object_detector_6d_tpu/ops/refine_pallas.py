@@ -54,22 +54,24 @@ def refine_sweep(
 def _refine_kernel_batched(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref):
     """One grid step per frame: the candidate loop lives inside the kernel
     (256 single-candidate grid steps cost ~0.15 ms/frame in per-step
-    overhead alone; 8 frame-steps make that negligible)."""
+    overhead alone; 8 frame-steps make that negligible). The feature
+    tables arrive as per-frame SMEM blocks — scalar-prefetching the
+    whole [B, K, F] tables put 3 x 512 KB in SMEM at B=64 and OOM'd the
+    1 MB space (v5e); a block holds one frame's ~4 KB."""
     Hp = d_ref.shape[2]
-    b = pl.program_id(0)
     K = plane_ref.shape[1]
 
     def cand(k, _):
         def body(f, acc):
-            p = plane_ref[b, k, f]
-            r0 = r0_ref[b, k, f]
-            c0 = c0_ref[b, k, f]
+            p = plane_ref[0, k, f]
+            r0 = r0_ref[0, k, f]
+            c0 = c0_ref[0, k, f]
             r8 = pl.multiple_of(jnp.minimum((r0 // 8) * 8, Hp - 32), 8)
             win = d_ref[0, p, pl.ds(r8, 32), :].astype(jnp.int32)
             rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
             return acc + rolled[0:16, 0:16]
 
-        n = nfeat_ref[b, k]
+        n = nfeat_ref[0, k]
         acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
         out_ref[0, k] = acc
         return 0
@@ -99,21 +101,26 @@ def refine_sweep_batched(
         )
     if nfeat is None:
         nfeat = jnp.full((B, K), plane_idx.shape[2], jnp.int32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, P, Hp, Wp), lambda b, *_: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, K, 16, 16), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-    )
+    F = plane_idx.shape[2]
     return pl.pallas_call(
         _refine_kernel_batched,
         out_shape=jax.ShapeDtypeStruct((B, K, 16, 16), jnp.int32),
-        grid_spec=grid_spec,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, F), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, F), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, F), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, P, Hp, Wp), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K, 16, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
         interpret=interpret,
     )(nfeat, plane_idx, r0, c0, d_planes)
 
