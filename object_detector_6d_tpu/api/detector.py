@@ -95,6 +95,16 @@ class Detector:
     def class_ids(self) -> List[str]:
         return list(self.class_templates.keys())
 
+    def num_classes(self) -> int:
+        """linemod.hpp:387 numClasses."""
+        return len(self.class_templates)
+
+    def get_templates(self, class_id: str, template_id: int) -> List[Template]:
+        """The stored template pyramid, interleaved level-major exactly
+        like the oracle's getTemplates (linemod.hpp:389:
+        (Mod0 L0, Mod1 L0, Mod0 L1, Mod1 L1) for two modalities)."""
+        return self.class_templates[class_id][template_id]
+
     def _build_pyramids(self, sources, mask=None):
         pyrs = []
         for name, src in zip(self.modality_names, sources):
