@@ -25,6 +25,8 @@ detail fields:
   match_fps_1200tpl         fused match, 1200-template bank (SURVEY 6 scaling)
   streaming_4cam_fps        aggregate fps of 4-camera ticks, pipelined
   streaming_tick_ms         mean blocking latency of one 4-camera tick
+  detect_fps_192lanes       config-4 shape: 64 hyp slots x 3 seeds = 192
+                            ICP lanes/frame at threshold 75
   detections_per_class      headline-scene detection counts (2 GT objects)
 
 CPU baselines (BASELINE.md, measured on the oracle): match 32.7 fps at
@@ -242,6 +244,48 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=32, G=4, n_multi=6):
     return pipe_fps, seq_fps, marginal_ms, dev_fps, per_class, group_fps, multi_fps
 
 
+def bench_hyp_scaling(jax, jnp, pd, K, make_frames, B=16):
+    """Config-4 shape (YCB-style multi-hypothesis): 64 hypothesis slots
+    x 3 depth seeds = 192 projective-ICP lanes per frame, lower match
+    threshold so more coarse candidates survive into the lift. Shares
+    the template bank and views with the headline detector; only the
+    hypothesis capacity (and therefore the fused program) differs."""
+    import dataclasses as dc
+
+    from object_detector_6d_tpu.api.pipeline import PoseDetector
+
+    pd4 = PoseDetector(
+        detector=pd.detector,
+        params=dc.replace(pd.params, max_hypotheses=64, match_threshold=75.0),
+        model_points=pd.model_points,
+    )
+    pd4.views = pd.views
+    inputs = [make_frames(B, 200 + s) for s in range(2)]
+
+    t0 = time.time()
+    out = pd4.detect_fused_batch(inputs[0][0], K, inputs[0][1])
+    n_det = sum(len(p) for p in out)
+    log(f"hyp192 compile+first batch: {time.time()-t0:.1f}s, "
+        f"{n_det} detections over {B} frames, overflow fallbacks: "
+        f"{pd4.counters.counts['overflow_fallback']}")
+
+    # pipelined dispatch, grouped retrieval (one round trip per group)
+    def run(n, group=4):
+        t0 = time.time()
+        hs = [pd4.detect_fused_dispatch(inputs[i % 2][0], K, inputs[i % 2][1])
+              for i in range(n)]
+        for i in range(0, n, group):
+            pd4.detect_fused_finalize_many(hs[i:i + group])
+        return time.time() - t0
+
+    run(4)  # warm the group-stack program
+    dt = run(8)
+    fps = 8 * B / dt
+    log(f"hyp192 pipelined: {dt/8*1e3:.1f} ms/batch of {B} -> {fps:.1f} fps "
+        f"(192 ICP lanes/frame)")
+    return fps
+
+
 def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
     """Config 5: one tick = one fused call over the 4-camera batch."""
     from object_detector_6d_tpu.api.streaming import StreamingDetector
@@ -344,6 +388,7 @@ def main():
      multi_fps) = bench_detect(jax, jnp, pd, K, make_frames)
     (stream_fps, stream_mode, scan_fps, tickwise_fps,
      tick_ms) = bench_streaming(jax, jnp, pd, K, make_frames)
+    hyp192_fps = bench_hyp_scaling(jax, jnp, pd, K, make_frames)
 
     print(
         json.dumps(
@@ -370,6 +415,7 @@ def main():
                     "streaming_scan_fps": round(scan_fps, 2),
                     "streaming_tickwise_fps": round(tickwise_fps, 2),
                     "streaming_tick_ms": round(tick_ms, 2),
+                    "detect_fps_192lanes": round(hyp192_fps, 2),
                     "detections_per_class_16f": per_class,
                     "cpu_detect_baseline_fps": CPU_DETECT_FPS,
                     "cpu_match_baseline_fps": CPU_MATCH_FPS,
