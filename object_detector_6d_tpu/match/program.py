@@ -196,6 +196,30 @@ def _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params):
     return qs
 
 
+def exact_topk(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k with lax.top_k's ordering via k iterative argmax passes.
+
+    jax.lax.top_k lowers to a sort of the full array — for the coarse
+    stage's flat [nT*gh*gw] score vector (~146k entries at 122
+    templates) that is a serial O(N log N) cost per frame, while k
+    reduce+mask passes stay memory-bound (2k linear passes over the
+    vector). Ordering is identical: descending value, ties broken by
+    lower index (argmax returns the FIRST maximum; the selected element
+    is then sunk below every real score so later passes pick the next).
+    Only valid when every real entry is > the sink value; the coarse
+    stage's scores are -1 (masked) or >= 0 (raw similarity sums), and
+    the sink is -2.
+    """
+    sink = jnp.asarray(-2, x.dtype)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x)
+        vals.append(x[i])
+        idxs.append(i)
+        x = x.at[i].set(sink)
+    return jnp.stack(vals), jnp.stack(idxs)
+
+
 def make_match_program(
     modality_names: Sequence[str],
     t_at_level: Sequence[int],
@@ -208,6 +232,7 @@ def make_match_program(
     batch: int | None = None,
     mesh=None,
     pallas_interpret: bool = False,
+    topk_impl: str = "argmax",
 ):
     """Build the fused per-frame matcher.
 
@@ -222,6 +247,9 @@ def make_match_program(
     ``max_dr`` is the bank's largest level-0 feature cell offset.
     ``pallas_interpret`` runs the Pallas kernels in interpreter mode so
     the 'pallas' path is testable on CPU (tests/test_pallas_kernels.py).
+    ``topk_impl``: 'argmax' (k iterative argmax passes — exact, avoids
+    sorting the flat coarse grid) or 'sort' (jax.lax.top_k); identical
+    outputs (test_match.py::test_exact_topk_equals_lax).
     """
     levels = len(t_at_level)
     assert levels == 2, "fused program currently supports 2-level pyramids"
@@ -339,7 +367,10 @@ def make_match_program(
         above = raw > raw_thr[:, None, None]
         n_above = jnp.sum(above.astype(jnp.int32))
         flat_score = jnp.where(above, raw, -1).reshape(-1)
-        top_vals, top_idx = jax.lax.top_k(flat_score, K_cap)
+        if topk_impl == "argmax":
+            top_vals, top_idx = exact_topk(flat_score, K_cap)
+        else:
+            top_vals, top_idx = jax.lax.top_k(flat_score, K_cap)
         valid = top_vals > -1
         tids = top_idx // (gh * gw)
         rc = top_idx % (gh * gw)

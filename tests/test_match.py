@@ -52,3 +52,28 @@ def test_match_parity(golden, scene, thresh):
     det = _build_detector(g)
     matches = det.match([g[f"{scene}_bgr"], g[f"{scene}_dep"]], thresh)
     _compare(matches, g[f"{scene}_matches"])
+
+
+def test_exact_topk_equals_lax():
+    """exact_topk (k iterative argmax passes, the coarse stage's default)
+    must reproduce jax.lax.top_k exactly — values AND indices, including
+    the lower-index-first tie rule and all-(-1) masked tails."""
+    import jax
+    import jax.numpy as jnp
+
+    from object_detector_6d_tpu.match.program import exact_topk
+
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randint(-1, 500, 4096),              # generic
+        np.full(4096, -1),                       # nothing above threshold
+        np.repeat(rng.randint(-1, 8, 512), 8),   # heavy ties
+        np.concatenate([np.full(4090, -1), [7, 7, 7, 3, 3, 9]]),
+    ]
+    for arr in cases:
+        x = jnp.asarray(arr.astype(np.int32))
+        for k in (1, 16, 32):
+            want_v, want_i = jax.lax.top_k(x, k)
+            got_v, got_i = exact_topk(x, k)
+            np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+            np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))

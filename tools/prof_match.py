@@ -224,7 +224,18 @@ def main():
             return jax.lax.top_k(flat, K_cap)
         return jax.vmap(one)(raw_b)
 
-    device_time("topk_b16", topk_fn, (raw_b,), floor=floor)
+    device_time("topk_sort_b16", topk_fn, (raw_b,), floor=floor)
+
+    from object_detector_6d_tpu.match.program import exact_topk
+
+    def topk_argmax_fn(raw_b, eps):
+        def one(raw):
+            raw = raw + (eps * 0).astype(jnp.int32)
+            flat = jnp.where(raw > 100, raw, -1).reshape(-1)
+            return exact_topk(flat, K_cap)
+        return jax.vmap(one)(raw_b)
+
+    device_time("topk_argmax_b16", topk_argmax_fn, (raw_b,), floor=floor)
 
     # --- refine sweep (pallas) ---
     t0g = t0_
