@@ -197,6 +197,32 @@ def main():
     device_time("coarse_conv_b16", coarse_conv_fn, (R1_b[0], R1_b[1]),
                 floor=floor)
 
+    # int8 variant: D values are 0..4 and kernels small one-hot counts,
+    # so int8 x int8 -> int32 is exact; the v5e MXU runs int8 at 2x the
+    # bf16 rate IF XLA lowers the conv to it (measure before wiring)
+    k_i8 = [jnp.asarray(np.asarray(k, np.float32), jnp.int8)
+            for k in bank.kernels_low]
+
+    def coarse_conv_i8_fn(R1a, R1b, eps):
+        out = None
+        for mod, R1 in enumerate((R1a, R1b)):
+            k = k_i8[mod]
+            kd = k.shape[3]
+            D = jax.vmap(decimate_l1)(R1).astype(jnp.int8) + (eps * 0).astype(jnp.int8)
+            need_h, need_w = gh + kd - 1, gw + kd - 1
+            D = jnp.pad(D, ((0, 0), (0, 0), (0, max(0, need_h - Hd1)),
+                            (0, max(0, need_w - Wd1))))
+            s = jax.lax.conv_general_dilated(
+                D, k, (1, 1), "VALID",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.int32,
+            )[:, :, :gh, :gw]
+            out = s if out is None else out + s
+        return out
+
+    device_time("coarse_conv_i8_b16", coarse_conv_i8_fn, (R1_b[0], R1_b[1]),
+                floor=floor)
+
     raw_b = jax.jit(lambda a, b: coarse_conv_fn(a, b, jnp.float32(0)))(
         R1_b[0], R1_b[1])
     raw_b = jnp.asarray(np.asarray(raw_b))
