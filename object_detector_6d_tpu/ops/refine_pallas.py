@@ -71,7 +71,7 @@ def _refine_kernel_batched(nfeat_ref, plane_ref, r0_ref, c0_ref, d_ref, out_ref)
             rolled = pltpu.roll(pltpu.roll(win, -(r0 - r8), 0), -c0, 1)
             return acc + rolled[0:16, 0:16]
 
-        n = nfeat_ref[0, k]
+        n = nfeat_ref[0, 0, k]
         acc = jax.lax.fori_loop(0, n, body, jnp.zeros((16, 16), jnp.int32))
         out_ref[0, k] = acc
         return 0
@@ -102,12 +102,16 @@ def refine_sweep_batched(
     if nfeat is None:
         nfeat = jnp.full((B, K), plane_idx.shape[2], jnp.int32)
     F = plane_idx.shape[2]
+    # Mosaic's block check exempts SMEM only for trivial windows; a (1, K)
+    # block over [B, K] trips the (8, 128) rule for B > 1. Rank-3 (1, 1, K)
+    # blocks make the last two dims (1, K) == the per-frame array dims.
+    nfeat3 = nfeat.reshape(B, 1, K)
     return pl.pallas_call(
         _refine_kernel_batched,
         out_shape=jax.ShapeDtypeStruct((B, K, 16, 16), jnp.int32),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda b: (b, 0),
+            pl.BlockSpec((1, 1, K), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, K, F), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -122,7 +126,7 @@ def refine_sweep_batched(
             (1, K, 16, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(nfeat, plane_idx, r0, c0, d_planes)
+    )(nfeat3, plane_idx, r0, c0, d_planes)
 
 
 def _coarse_kernel(nfeat_ref, plane_ref, dr_ref, dc_ref, d_ref, out_ref):
