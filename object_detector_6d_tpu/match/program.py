@@ -43,8 +43,11 @@ class PackedBank:
     class_ids: List[str]  # per global template id
     local_tids: np.ndarray  # [nT] local id within class
     # coarse level (lowest): per modality kernels over the T1-decimated
-    # response planes, [nT, 8*t1^2, kd, kd] bf16 — the stride-T1 sweep
-    # becomes a stride-1 conv, which XLA tiles onto the MXU ~2-4x better
+    # response planes, [nT, 8*t1^2, kd, kd] int8 — the stride-T1 sweep
+    # becomes a stride-1 conv, which XLA tiles onto the MXU ~2-4x better;
+    # responses are 0..4 and kernel cells are small feature counts, so
+    # int8 x int8 -> int32 is exact and the v5e MXU runs it ~2.5x faster
+    # than bf16 (tools/prof_match.py A/B: 2.06 vs 5.28 ms/batch-16)
     kernels_low: List[jnp.ndarray]
     # refinement level 0: per modality one-hot kernels over the decimated
     # T0 grid, [nT, 8*T0^2, max_dr+1, max_dr+1] bf16 (conv path)
@@ -118,7 +121,7 @@ def pack_bank(
             for f in t.features:
                 plane = f.label * t1 * t1 + (f.y % t1) * t1 + (f.x % t1)
                 K[i, plane, f.y // t1, f.x // t1] += 1.0
-        kernels_low.append(jnp.asarray(K, dtype=jnp.bfloat16))
+        kernels_low.append(jnp.asarray(K, dtype=jnp.int8))
 
     # level-0 one-hot kernels over the decimated T0 grid: channel =
     # label*T0^2 + (fy%T0)*T0 + fx%T0, spatial offset (fy//T0, fx//T0).
@@ -324,12 +327,14 @@ def make_match_program(
         """Single frame: precomputed responses -> coarse sweep -> top-K."""
         raw = None
         for mod in range(num_mod):
-            k = kernels_low[mod]  # [nT, 8*t1^2, kd, kd] bf16
+            k = kernels_low[mod]  # [nT, 8*t1^2, kd, kd] int8
             kd = k.shape[3]
             # stride-T1 sweep == stride-1 conv over the decimated planes:
             # score[t,r,c] = sum_f R1[l, r*t1+fy, c*t1+fx]
             #              = sum_f D[l*t1^2+(fy%t1)*t1+fx%t1, r+fy//t1, c+fx//t1]
-            D = decimate_l1(R1[mod]).astype(jnp.bfloat16)
+            # int8 x int8 -> int32 is exact here (responses 0..4, kernel
+            # cells small counts) and runs the v5e MXU at 2x the bf16 rate.
+            D = decimate_l1(R1[mod]).astype(jnp.int8)
             need_h = gh + kd - 1
             need_w = gw + kd - 1
             D = jnp.pad(
@@ -342,8 +347,8 @@ def make_match_program(
                 window_strides=(1, 1),
                 padding="VALID",
                 dimension_numbers=("NCHW", "OIHW", "NCHW"),
-                preferred_element_type=jnp.float32,
-            )[0, :, :gh, :gw].astype(jnp.int32)
+                preferred_element_type=jnp.int32,
+            )[0, :, :gh, :gw]
             raw = s if raw is None else raw + s
 
         nT = raw.shape[0]
