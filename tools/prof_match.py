@@ -177,10 +177,13 @@ def main():
     device_time("decimate_b16", decim_fn, (R1_b[0], R1_b[1]), floor=floor)
 
     # --- coarse conv over the bank (both modalities) ---
+    k_bf16 = [jnp.asarray(np.asarray(k, np.float32), jnp.bfloat16)
+              for k in bank.kernels_low]
+
     def coarse_conv_fn(R1a, R1b, eps):
         out = None
         for mod, R1 in enumerate((R1a, R1b)):
-            k = bank.kernels_low[mod]
+            k = k_bf16[mod]
             kd = k.shape[3]
             D = jax.vmap(decimate_l1)(R1).astype(jnp.bfloat16) + eps.astype(jnp.bfloat16)
             need_h, need_w = gh + kd - 1, gw + kd - 1
