@@ -9,6 +9,13 @@ VPU, but the quantized image only ever holds the 9 byte values
 cumulative histogram over the 9 values with two separable 5x5 box sums and
 select the first value whose cumulative count reaches 13. Everything is
 elementwise adds and compares — pure VPU work that XLA fuses.
+
+HBM-traffic note: a window count never exceeds 25, so four 8-bit count
+fields pack into one int32 with no cross-field carry. The eight one-hot
+codes therefore need only TWO packed int32 planes through the separable
+box sums (instead of eight), and the count for code 0 is 25 minus the
+rest — a ~4x cut in box-sum traffic (the stage is bandwidth-bound:
+measured 3.4 ms -> see tools/prof_quant.py for the per-stage harness).
 """
 
 from __future__ import annotations
@@ -33,15 +40,30 @@ def median5_onehot_u8(img: jnp.ndarray) -> jnp.ndarray:
     Bit-exact with cv::medianBlur(CV_8U, ksize=5) for inputs restricted to
     that alphabet (verified in tests/test_depth_normal.py).
     """
-    codes = jnp.asarray(_CODES)
-    # counts[k] = number of window pixels == codes[k]
-    eq = (img[None, :, :] == codes[:, None, None]).astype(jnp.int32)
-    counts = _box5_sum(eq)
-    cum = jnp.cumsum(counts, axis=0)
+    x = img.astype(jnp.int32)
+    # pack the eight one-hot indicator planes into two int32 images,
+    # four 8-bit count fields each (window counts <= 25 < 256: no carry)
+    lo = jnp.zeros_like(x)
+    hi = jnp.zeros_like(x)
+    for k in range(4):
+        lo = lo + (((x >> k) & 1) << (8 * k))
+        hi = hi + (((x >> (k + 4)) & 1) << (8 * k))
+    lo = _box5_sum(lo)
+    hi = _box5_sum(hi)
+    counts = [(lo >> (8 * k)) & 255 for k in range(4)] + [
+        (hi >> (8 * k)) & 255 for k in range(4)
+    ]
     # median = first code whose cumulative count reaches 13 (of 25);
-    # codes are 0 then powers of two, so codes[idx] is arithmetic
-    # (1 << (idx-1)) — no gather.
-    reached = cum >= 13
-    idx = jnp.argmax(reached, axis=0).astype(jnp.int32)
-    val = jnp.where(idx == 0, 0, jnp.int32(1) << jnp.maximum(idx - 1, 0))
+    # count for code 0 is 25 minus the rest, and codes are 0 then powers
+    # of two so the result is arithmetic — no gather.
+    cum = 25
+    for c in counts:
+        cum = cum - c
+    val = jnp.zeros_like(x)
+    done = cum >= 13  # code 0 is already the median
+    for k, c in enumerate(counts):
+        cum = cum + c
+        hit = ~done & (cum >= 13)
+        val = jnp.where(hit, jnp.int32(1) << k, val)
+        done = done | hit
     return val.astype(jnp.uint8)

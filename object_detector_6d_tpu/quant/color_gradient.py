@@ -125,10 +125,18 @@ def quantized_orientations(
     border = (v == 0) | (v == H - 1) | (u == 0) | (u == W - 1)
     q8 = jnp.where(border, 0, q8)
 
-    onehot = (q8[None, :, :] == jnp.arange(8)[:, None, None]).astype(jnp.int32)
-    votes = _box3_sum(onehot)
-    best = jnp.argmax(votes, axis=0)
-    best_votes = jnp.max(votes, axis=0)
+    # 3x3 vote counts <= 9 < 16, so all eight bins pack into ONE uint32
+    # as 4-bit fields (bin 7 sits in the sign bits — hence unsigned):
+    # a single packed box sum instead of eight plane box sums.
+    packed = (jnp.uint32(1) << (4 * q8).astype(jnp.uint32)).astype(jnp.uint32)
+    votes = _box3_sum(packed)
+    best = jnp.zeros_like(q8)
+    best_votes = (votes & 15).astype(jnp.int32)
+    for k in range(1, 8):
+        vk = ((votes >> (4 * k)) & 15).astype(jnp.int32)
+        win = vk > best_votes  # strict: first max wins, like argmax
+        best = jnp.where(win, k, best)
+        best_votes = jnp.maximum(best_votes, vk)
     strong = (smag > jnp.float32(weak_threshold) ** 2) & (best_votes >= 5) & ~border
     return (
         jnp.where(strong, (1 << best).astype(jnp.uint8), 0).astype(jnp.uint8),

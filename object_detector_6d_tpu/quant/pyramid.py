@@ -51,17 +51,32 @@ def _reflect101_pad(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 @jax.jit
 def pyr_down_u8(img: jnp.ndarray) -> jnp.ndarray:
-    """Bit-exact cv::pyrDown for u8 images [H, W, C] or [H, W]."""
+    """Bit-exact cv::pyrDown for u8 images [H, W, C] or [H, W].
+
+    TPU notes: internally channel-first ([C, H, W], lanes = W) and the
+    even-index decimation is fused into both separable passes (each tap
+    reads a stride-2 slice), so the convolutions compute only the H/2 x
+    W/2 outputs that survive — 4x less arithmetic than filter-then-
+    decimate, same integer math bit-for-bit.
+    """
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
     H, W = img.shape[:2]
-    x = img.astype(jnp.int32)
-    p = _reflect101_pad(x, axis=1)
-    t = sum(k * p[:, i : i + W] for i, k in enumerate(_PYR5))
-    p = _reflect101_pad(t, axis=0)
-    o = sum(k * p[i : i + H] for i, k in enumerate(_PYR5))
-    out = jnp.clip((o[::2, ::2] + 128) >> 8, 0, 255).astype(jnp.uint8)
+    Ho, Wo = (H + 1) // 2, (W + 1) // 2
+    x = jnp.moveaxis(img.astype(jnp.int32), -1, 0)  # [C, H, W]
+    p = _reflect101_pad(x, axis=2)
+    t = sum(
+        k * jax.lax.slice_in_dim(p, i, i + 2 * Wo - 1, stride=2, axis=2)
+        for i, k in enumerate(_PYR5)
+    )
+    p = _reflect101_pad(t, axis=1)
+    o = sum(
+        k * jax.lax.slice_in_dim(p, i, i + 2 * Ho - 1, stride=2, axis=1)
+        for i, k in enumerate(_PYR5)
+    )
+    out = jnp.clip((o + 128) >> 8, 0, 255).astype(jnp.uint8)
+    out = jnp.moveaxis(out, 0, -1)
     return out[..., 0] if squeeze else out
 
 
