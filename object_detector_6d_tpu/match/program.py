@@ -300,6 +300,12 @@ def make_match_program(
         pallas_call is unsupported, hence the restructure).
         Returns (R0_b, R1_b): per modality [B, 8, H, W] u8.
         """
+        # Quantize stays on the XLA formulation: the fused Pallas
+        # kernels (ops/quantize_pallas.py, bit-identical, tested) were
+        # measured SLOWER on v5e once the packed-field box sums + int8
+        # paths landed — 8.4 vs 2.7 ms (CG) and 1.5 vs 0.5 ms (DN) per
+        # batch-16 (tools/prof_quant.py, 2026-08-19); they stay parked
+        # as the documented alternative.
         qs_b = jax.vmap(
             lambda *s: _quantize_pyramids(
                 list(s), modality_names, levels, dn_params, cg_params

