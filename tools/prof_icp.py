@@ -41,7 +41,7 @@ from object_detector_6d_tpu.refine.projective import (  # noqa: E402
 )
 
 B = 16
-K_CAP = 8
+K_CAP = 16  # production max_hypotheses (api/pipeline.py DetectParams)
 S = 3
 N_MODEL = 512
 H, W = 480, 640
@@ -185,6 +185,42 @@ def main():
             return jax.vmap(per_frame)(models, poses, scene7)
         return fn
 
+    # --- fully unrolled variant (straight-line XLA, masked freeze):
+    # no while/fori control flow at all, so XLA can software-pipeline
+    # the gather-bound steps across the lane batch ---
+    def icp_levels_unrolled(model_pc, pose0, s7, levels):
+        pose = pose0
+        residual = jnp.float32(jnp.inf)
+        n_in = jnp.float32(0.0)
+        N = model_pc.shape[0]
+        for level in levels:
+            stride = 1 << level
+            n_lvl = max(1, N // stride)
+            sample = model_pc[::stride][:n_lvl]
+            msk = jnp.isfinite(sample[:, :3]).all(-1)
+            sample = jnp.nan_to_num(sample)
+            cap = jnp.float32(0.015) * (1 << level)
+            active = jnp.bool_(True)
+            for _ in range(iters):
+                new_pose, upd, new_res, new_nin = _proj_step(
+                    pose, sample, msk, s7, fx, fy, cx, cy, H, W, cap,
+                    jnp.float32(0.5),
+                )
+                pose = jnp.where(active, new_pose, pose)
+                residual = jnp.where(active, new_res, residual)
+                n_in = jnp.where(active, new_nin, n_in)
+                active = active & (upd >= tol)
+        return residual, pose, n_in
+
+    def run_levels_unrolled(levels):
+        def fn(models, poses, scene7, eps):
+            def per_frame(ms, ps, s7):
+                return jax.vmap(
+                    lambda m, p: icp_levels_unrolled(m, p + eps, s7, levels)
+                )(ms, ps)
+            return jax.vmap(per_frame)(models, poses, scene7)
+        return fn
+
     # --- step pieces ---
     def step_gather(models, poses, scene7, eps):
         stride = 1 << 3
@@ -282,13 +318,17 @@ def main():
     device_time("step_solve", step_solve, (A0, b0, poses_c), iters=32)
     device_time("solve_unrolled", step_solve_unrolled, (A0, b0, poses_c), iters=32)
     device_time("step_gather_L3", step_gather, (models_c, poses_c, scene7), iters=16)
-    device_time("coarse_while", run_levels((3, 2)),
+    # production phase split (api/detect_program.py, num_levels=4):
+    # coarse = level (3,) on K*S=48 lanes; fine = (2, 1, 0) on K=16 lanes
+    device_time("coarse48_while_L3", run_levels((3,)),
                 (models_c, poses_c, scene7), iters=4)
-    device_time("coarse_fixed", run_levels_fixed((3, 2)),
+    device_time("coarse48_unroll_L3", run_levels_unrolled((3,)),
                 (models_c, poses_c, scene7), iters=4)
-    device_time("fine_while", run_levels((1, 0)),
+    device_time("fine16_while_L210", run_levels((2, 1, 0)),
                 (models_f, poses_f, scene7), iters=4)
-    device_time("fine_fixed", run_levels_fixed((1, 0)),
+    device_time("fine16_fixed_L210", run_levels_fixed((2, 1, 0)),
+                (models_f, poses_f, scene7), iters=4)
+    device_time("fine16_unroll_L210", run_levels_unrolled((2, 1, 0)),
                 (models_f, poses_f, scene7), iters=4)
 
 
