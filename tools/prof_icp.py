@@ -5,15 +5,20 @@ Times each piece of the projective-ICP phase of the fused detect()
 program (api/detect_program.py) with a lax.scan harness: iterations are
 chained through a data dependency (acc*1e-30 folded into a float input)
 so XLA cannot CSE them, and the ~35 ms axon RPC floor is amortized over
-the scan length. Pieces:
+the scan length. Pieces (lane counts follow K_CAP=16, S=3 seeds):
 
-  coarse_while   current two-coarse-level while_loop phase (24 lanes/frame)
-  coarse_fixed   same math, fixed fori_loop iteration budget (no early exit)
-  fine_while     current two-fine-level phase (8 lanes/frame)
-  step_gather    one association step WITHOUT the solve (project+gather+resid)
-  step_solve     the solve alone (Cholesky + exp + compose) on fixed A,b
-  solve_unrolled explicit unrolled 6x6 Cholesky (pure VPU elementwise)
-  lift_quantile  the nanquantile window lift (8 candidates/frame)
+  lift_quantile      the nanquantile window lift (K_CAP candidates/frame)
+  step_solve         the solve alone (Cholesky + exp + compose) on fixed A,b
+  solve_unrolled     explicit unrolled 6x6 Cholesky (pure VPU elementwise)
+  step_gather_L3     one association step WITHOUT the solve
+                     (project+gather+resid at level-3 stride)
+  coarse48_while_L3  production coarse phase: level (3,) while_loop on
+                     K_CAP*S=48 lanes/frame
+  coarse48_unroll_L3 same math, straight-line unrolled (no control flow)
+  fine16_while_L210  production fine phase: levels (2,1,0) while_loop on
+                     K_CAP=16 lanes/frame
+  fine16_fixed_L210  same math, fixed fori_loop budget (masked freeze)
+  fine16_unroll_L210 same math, straight-line unrolled
 
 Prints ms per batch-16 execution for each piece.
 """
@@ -41,7 +46,7 @@ from object_detector_6d_tpu.refine.projective import (  # noqa: E402
 )
 
 B = 16
-K_CAP = 16  # production max_hypotheses (api/pipeline.py DetectParams)
+K_CAP = 16  # production max_hypotheses default (core/config.py DetectParams)
 S = 3
 N_MODEL = 512
 H, W = 480, 640
@@ -115,8 +120,8 @@ def main():
     model = np.concatenate(
         [cloud0[ys[sel], xs[sel]], nrm0[ys[sel], xs[sel]]], -1
     ).astype(np.float32)
-    models_c = jnp.asarray(np.tile(model, (B, K_CAP * S, 1, 1)))  # [B, 24, N, 6]
-    models_f = models_c[:, :K_CAP]  # [B, 8, N, 6]
+    models_c = jnp.asarray(np.tile(model, (B, K_CAP * S, 1, 1)))  # [B, K_CAP*S, N, 6]
+    models_f = models_c[:, :K_CAP]  # [B, K_CAP, N, 6]
 
     # perturbed init poses
     def rand_pose():
@@ -145,8 +150,12 @@ def main():
             return jax.vmap(per_frame)(models, poses, scene7)
         return fn
 
-    # --- fixed-budget variant (fori_loop, masked freeze) ---
-    def icp_levels_fixed(model_pc, pose0, s7, levels):
+    # --- fixed-budget variants (masked freeze): one shared per-level
+    # body; ``unroll`` only picks the loop construct (fori_loop vs
+    # straight-line python range, which lets XLA software-pipeline the
+    # gather-bound steps across the lane batch) so the freeze-semantics
+    # math cannot diverge between the two ---
+    def icp_levels_budget(model_pc, pose0, s7, levels, unroll):
         pose = pose0
         residual = jnp.float32(jnp.inf)
         n_in = jnp.float32(0.0)
@@ -159,7 +168,7 @@ def main():
             sample = jnp.nan_to_num(sample)
             cap = jnp.float32(0.015) * (1 << level)
 
-            def body(i, carry):
+            def body(_, carry):
                 pose, res, nin, active = carry
                 new_pose, upd, new_res, new_nin = _proj_step(
                     pose, sample, msk, s7, fx, fy, cx, cy, H, W, cap,
@@ -171,55 +180,30 @@ def main():
                 active = active & (upd >= tol)
                 return pose, res, nin, active
 
-            pose, residual, n_in, _ = jax.lax.fori_loop(
-                0, iters, body, (pose, residual, n_in, jnp.bool_(True))
-            )
+            carry = (pose, residual, n_in, jnp.bool_(True))
+            if unroll:
+                for i in range(iters):
+                    carry = body(i, carry)
+            else:
+                carry = jax.lax.fori_loop(0, iters, body, carry)
+            pose, residual, n_in, _ = carry
         return residual, pose, n_in
+
+    def run_levels_budget(levels, unroll):
+        def fn(models, poses, scene7, eps):
+            def per_frame(ms, ps, s7):
+                return jax.vmap(
+                    lambda m, p: icp_levels_budget(m, p + eps, s7, levels,
+                                                   unroll)
+                )(ms, ps)
+            return jax.vmap(per_frame)(models, poses, scene7)
+        return fn
 
     def run_levels_fixed(levels):
-        def fn(models, poses, scene7, eps):
-            def per_frame(ms, ps, s7):
-                return jax.vmap(
-                    lambda m, p: icp_levels_fixed(m, p + eps, s7, levels)
-                )(ms, ps)
-            return jax.vmap(per_frame)(models, poses, scene7)
-        return fn
-
-    # --- fully unrolled variant (straight-line XLA, masked freeze):
-    # no while/fori control flow at all, so XLA can software-pipeline
-    # the gather-bound steps across the lane batch ---
-    def icp_levels_unrolled(model_pc, pose0, s7, levels):
-        pose = pose0
-        residual = jnp.float32(jnp.inf)
-        n_in = jnp.float32(0.0)
-        N = model_pc.shape[0]
-        for level in levels:
-            stride = 1 << level
-            n_lvl = max(1, N // stride)
-            sample = model_pc[::stride][:n_lvl]
-            msk = jnp.isfinite(sample[:, :3]).all(-1)
-            sample = jnp.nan_to_num(sample)
-            cap = jnp.float32(0.015) * (1 << level)
-            active = jnp.bool_(True)
-            for _ in range(iters):
-                new_pose, upd, new_res, new_nin = _proj_step(
-                    pose, sample, msk, s7, fx, fy, cx, cy, H, W, cap,
-                    jnp.float32(0.5),
-                )
-                pose = jnp.where(active, new_pose, pose)
-                residual = jnp.where(active, new_res, residual)
-                n_in = jnp.where(active, new_nin, n_in)
-                active = active & (upd >= tol)
-        return residual, pose, n_in
+        return run_levels_budget(levels, unroll=False)
 
     def run_levels_unrolled(levels):
-        def fn(models, poses, scene7, eps):
-            def per_frame(ms, ps, s7):
-                return jax.vmap(
-                    lambda m, p: icp_levels_unrolled(m, p + eps, s7, levels)
-                )(ms, ps)
-            return jax.vmap(per_frame)(models, poses, scene7)
-        return fn
+        return run_levels_budget(levels, unroll=True)
 
     # --- step pieces ---
     def step_gather(models, poses, scene7, eps):
