@@ -386,8 +386,24 @@ def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent XLA compilation cache: ~13 min of a cold BENCH run is
+    # compile (VERDICT r03 weak 5); a warm cache turns those sections
+    # into second-scale loads and makes the driver run robust to tunnel
+    # flake. Cache entries ARE written under the axon backend (verified:
+    # jit entries appear in .jax_cache); hit-rate through the
+    # remote-compile path is measured by comparing the compile+first
+    # lines of two consecutive bench runs.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     log("devices:", jax.devices())
     match_fps = bench_match(jax, jnp, n_classes=12, per_class=10,

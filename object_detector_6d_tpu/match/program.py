@@ -199,6 +199,48 @@ def _quantize_pyramids(sources, modality_names, levels, dn_params, cg_params):
     return qs
 
 
+def quantize_pyramids_batched(sources_b, modality_names, levels, dn_params,
+                              cg_params, interpret=False):
+    """Frame-batched quantize via the fused Pallas kernels.
+
+    Same [level][modality] output structure as ``_quantize_pyramids``
+    (each entry [B, H, W] u8), bit-identical results
+    (ops/quantize_pallas.py; tests/test_quantize_pallas.py). Used by the
+    production TPU path: the 2026-08-19 A/B (tools/prof_quant.py)
+    measured CG level-0 at 0.88 ms (Pallas) vs 2.73 ms (XLA) per
+    batch-16 and DN at parity, reversing the round-3 parking decision.
+    Requires frame heights divisible by 16 (both pyramid levels hit the
+    kernels' 8-row block alignment); callers gate on that and fall back
+    to the vmapped XLA formulation otherwise.
+    """
+    from object_detector_6d_tpu.ops.quantize_pallas import (
+        cg_quantize_batched,
+        dn_quantize_batched,
+    )
+
+    qs_b = [[None] * len(modality_names) for _ in range(levels)]
+    for m, (name, src_b) in enumerate(zip(modality_names, sources_b)):
+        if name == "ColorGradient":
+            img_b = src_b
+            for lvl in range(levels):
+                qs_b[lvl][m] = cg_quantize_batched(
+                    img_b, float(cg_params.weak_threshold),
+                    interpret=interpret)
+                if lvl + 1 < levels:
+                    img_b = jax.vmap(pyr_down_u8)(img_b)
+        elif name == "DepthNormal":
+            q_b = dn_quantize_batched(
+                src_b, int(dn_params.distance_threshold),
+                int(dn_params.difference_threshold), interpret=interpret)
+            for lvl in range(levels):
+                qs_b[lvl][m] = q_b
+                if lvl + 1 < levels:
+                    q_b = q_b[:, ::2, ::2]
+        else:
+            raise ValueError(name)
+    return qs_b
+
+
 def exact_topk(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k with lax.top_k's ordering via k iterative argmax passes.
 
@@ -300,17 +342,24 @@ def make_match_program(
         pallas_call is unsupported, hence the restructure).
         Returns (R0_b, R1_b): per modality [B, 8, H, W] u8.
         """
-        # Quantize stays on the XLA formulation: the fused Pallas
-        # kernels (ops/quantize_pallas.py, bit-identical, tested) were
-        # measured SLOWER on v5e once the packed-field box sums + int8
-        # paths landed — 8.4 vs 2.7 ms (CG) and 1.5 vs 0.5 ms (DN) per
-        # batch-16 (tools/prof_quant.py, 2026-08-19); they stay parked
-        # as the documented alternative.
-        qs_b = jax.vmap(
-            lambda *s: _quantize_pyramids(
-                list(s), modality_names, levels, dn_params, cg_params
-            )
-        )(*sources_b)
+        # Quantize: the fused Pallas kernels (ops/quantize_pallas.py,
+        # bit-identical, tested) won the 2026-08-19 re-A/B — CG level-0
+        # 0.88 ms (Pallas) vs 2.73 ms (XLA) per batch-16, DN at parity
+        # (tools/prof_quant.py) — reversing the round-3 parking call
+        # (the earlier loss was measured against a different fusion
+        # context). Pallas path needs H0 % 16 == 0 (8-row block
+        # alignment at both levels); otherwise the vmapped XLA
+        # formulation remains the fallback.
+        if use_pallas_response and H0 % 16 == 0:
+            qs_b = quantize_pyramids_batched(
+                sources_b, modality_names, levels, dn_params, cg_params,
+                interpret=pallas_interpret)
+        else:
+            qs_b = jax.vmap(
+                lambda *s: _quantize_pyramids(
+                    list(s), modality_names, levels, dn_params, cg_params
+                )
+            )(*sources_b)
         if use_pallas_response:
             from object_detector_6d_tpu.ops.response_pallas import (
                 response_spread_batched,

@@ -1,16 +1,17 @@
 """Fused quantize Pallas kernels: ColorGradient + DepthNormal, VMEM-resident.
 
-STATUS: PARKED (correct, tested, not wired). Written when quantize was
-12.6 ms of the 19.6 ms batch-16 match (2026-08-18 profile); by the time
-they landed, the XLA formulations had been re-optimized (packed-field
-box sums, decimated pyrDown, int8 paths) and the v5e A/B went the other
-way — cg 8.4 ms (Pallas) vs 2.7 ms (XLA), dn 1.5 vs 0.5 per batch-16
-(tools/prof_quant.py, 2026-08-19): Mosaic serializes the long scalar
-stencil chains these kernels inline, while XLA overlaps its fused
-elementwise passes with the surrounding program. Kept as the measured
-alternative + interpret-mode parity coverage of the packed-vote/median
-tricks. Each kernel runs the whole per-modality chain on one
-VMEM-resident row block:
+STATUS: WIRED (round 4) into the production Pallas match path
+(match/program.py quantize_pyramids_batched, gated on H % 16 == 0).
+History: written when quantize was 12.6 ms of the 19.6 ms batch-16
+match (2026-08-18 profile), then PARKED when a round-3 A/B measured
+them slower than the re-optimized XLA formulations (8.4 vs 2.7 ms CG).
+The round-4 re-A/B on a quiet chip went the other way — CG level-0
+0.88 ms (Pallas) vs 2.73 ms (XLA) per batch-16, DN 0.37 vs 0.33
+(tools/prof_quant.py, 2026-08-19) — and the fused match program
+dropped accordingly, so they ship. The XLA formulations remain the
+fallback for unaligned frame heights and the mesh/conv paths. Each
+kernel runs the whole per-modality chain on one VMEM-resident row
+block:
 
   cg_quantize_batched   int 7x7 Gaussian -> 3x3 Sobel -> channel select
                         -> fastAtan2 -> 16->8 bin fold -> packed 3x3
