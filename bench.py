@@ -256,7 +256,8 @@ def bench_hyp_scaling(jax, jnp, pd, K, make_frames, B=16):
 
     pd4 = PoseDetector(
         detector=pd.detector,
-        params=dc.replace(pd.params, max_hypotheses=64, match_threshold=75.0),
+        params=dc.replace(pd.params, max_hypotheses=64, match_threshold=75.0,
+                          fine_compact=16),
         model_points=pd.model_points,
     )
     pd4.views = pd.views

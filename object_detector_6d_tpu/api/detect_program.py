@@ -266,6 +266,7 @@ def make_detect_program(
     flat_output: bool = False,
     device_nms: bool = False,
     pallas_interpret: bool = False,
+    fine_compact: int = 0,
 ):
     """Build the fused detect program for one (frame shape, K) pair.
 
@@ -372,6 +373,10 @@ def make_detect_program(
         coarse_levels, fine_levels = all_levels[:1], all_levels[1:]
     else:
         coarse_levels, fine_levels = all_levels, []
+    # survivor compaction (core/config.py DetectParams.fine_compact):
+    # M < K_cap -> only the M best candidates by coarse residual run the
+    # fine levels; the rest drop (capacity semantics)
+    M_fine = fine_compact if (0 < fine_compact < K_cap) else K_cap
     iters = max(1, icp.iterations // icp.num_levels)
     # NOTE the update-norm early-exit is NOT icp.tolerance (the NN
     # rule's semantics don't transfer — refine/projective.py docstring).
@@ -511,7 +516,21 @@ def make_detect_program(
             res1.reshape(K_cap, S), nin1.reshape(K_cap, S),
             poses1.reshape(K_cap, S, 4, 4), seed_ok, n_model_valid,
         )
-        if fine_levels:
+        if fine_levels and M_fine < K_cap:
+            # survivor compaction: rank by coarse residual (coarse
+            # failures rank inf; argsort is stable so lane order breaks
+            # ties), refine only the top M_fine lanes, scatter back;
+            # non-selected lanes drop exactly like coarse failures
+            rank = jnp.where(jnp.isfinite(best_res), best_res, jnp.inf)
+            sel = jnp.argsort(rank)[:M_fine]
+            res2, poses2, nin2 = icp_fine(scene7, models[sel],
+                                          best_pose[sel])
+            enough2 = nin2 >= min_inlier_frac * n_model_valid[sel]
+            res_f = jnp.where(
+                jnp.isfinite(best_res[sel]) & enough2, res2, jnp.inf)
+            best_res = jnp.full_like(best_res, jnp.inf).at[sel].set(res_f)
+            best_pose = best_pose.at[sel].set(poses2)
+        elif fine_levels:
             res2, poses2, nin2 = icp_fine(scene7, models, best_pose)
             enough2 = nin2 >= min_inlier_frac * n_model_valid
             best_res = jnp.where(
@@ -556,7 +575,26 @@ def make_detect_program(
             res1.reshape(K_cap, S), nin1.reshape(K_cap, S),
             poses1.reshape(K_cap, S, 4, 4), seed_ok, n_model_valid,
         )
-        if fine_levels:
+        if fine_levels and M_fine < K_cap:
+            # survivor compaction, sharded: the selection is computed
+            # identically on every device (best_res is replicated after
+            # the coarse all_gather), each device refines its slice of
+            # the M_fine compacted lanes
+            rank = jnp.where(jnp.isfinite(best_res), best_res, jnp.inf)
+            sel = jnp.argsort(rank)[:M_fine]
+            lanes2 = M_fine // tp
+            sel_l = jax.lax.dynamic_slice_in_dim(sel, mi * lanes2, lanes2)
+            res2, poses2, nin2 = icp_fine(scene7, models[sel_l],
+                                          best_pose[sel_l])
+            res2 = jax.lax.all_gather(res2, "model", axis=0, tiled=True)
+            poses2 = jax.lax.all_gather(poses2, "model", axis=0, tiled=True)
+            nin2 = jax.lax.all_gather(nin2, "model", axis=0, tiled=True)
+            enough2 = nin2 >= min_inlier_frac * n_model_valid[sel]
+            res_f = jnp.where(
+                jnp.isfinite(best_res[sel]) & enough2, res2, jnp.inf)
+            best_res = jnp.full_like(best_res, jnp.inf).at[sel].set(res_f)
+            best_pose = best_pose.at[sel].set(poses2)
+        elif fine_levels:
             lanes2 = K_cap // tp
             m_l = jax.lax.dynamic_slice_in_dim(models, mi * lanes2, lanes2)
             p_l = jax.lax.dynamic_slice_in_dim(best_pose, mi * lanes2, lanes2)
@@ -594,6 +632,10 @@ def make_detect_program(
             raise ValueError(
                 f"max_candidates ({K_cap}) and max_candidates*num_seeds "
                 f"({K_cap * S}) must divide the model axis ({tp})"
+            )
+        if M_fine < K_cap and M_fine % tp:
+            raise ValueError(
+                f"fine_compact ({M_fine}) must divide the model axis ({tp})"
             )
 
         refine_sharded = shard_map(

@@ -271,7 +271,11 @@ class PoseDetector:
         max_dr = ((bank.max_dr // 16) + 1) * 16
         K_cap = max(8, p.max_hypotheses)
         K_cap = -(-K_cap // max(tp, 1)) * max(tp, 1)  # divisible by tp
-        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None)
+        fc = p.fine_compact
+        if fc and tp > 1:
+            fc = -(-fc // tp) * tp  # divisible by the model axis
+        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None,
+                fc)
         prog = cache.get(pkey)
         if prog is None:
             import jax
@@ -292,6 +296,7 @@ class PoseDetector:
                 batch=None if B == 1 else B,
                 mesh=mesh,
                 device_nms=True,
+                fine_compact=fc,
             )
             cache[pkey] = prog
         sources_b = []
@@ -393,7 +398,8 @@ class PoseDetector:
         kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
         max_dr = ((bank.max_dr // 16) + 1) * 16
         K_cap = max(8, p.max_hypotheses)
-        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False)
+        pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False,
+                p.fine_compact)
         prog = cache.get(pkey)
         if prog is None:
             import jax
@@ -405,6 +411,7 @@ class PoseDetector:
                 np.asarray(K, np.float64), max_candidates=K_cap,
                 max_dr=max_dr, refine_impl=refine_impl, icp=p.icp,
                 lift_window=self.scene_window, batch=B, device_nms=True,
+                fine_compact=p.fine_compact,
             )
             cache[pkey] = prog
         mkey = ("detect_prog_multi", pkey, G)

@@ -86,3 +86,13 @@ class DetectParams:
     icp: ICPParams = dataclasses.field(
         default_factory=lambda: ICPParams(iterations=100)
     )
+    # Survivor compaction for the fine ICP phase (config-4 regime): when
+    # > 0 and < max_hypotheses, only the fine_compact best candidates by
+    # coarse-phase residual (finite first) run the fine pyramid levels;
+    # the rest are dropped exactly like candidates beyond
+    # max_hypotheses. At 64 hypothesis slots most candidates die at the
+    # coarse residual/inlier gate, and the fine levels are ~80% of ICP
+    # point-iterations — capacity semantics, same spirit as
+    # max_candidates (PARITY.md deviation 2). 0 = off (every lane runs
+    # fine).
+    fine_compact: int = 0

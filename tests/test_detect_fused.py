@@ -111,3 +111,38 @@ def test_fused_dispatch_multi_equals_batches():
             for p, q in zip(multi[g][b], ref[g][b]):
                 assert p.class_id == q.class_id
                 np.testing.assert_allclose(p.pose, q.pose, atol=1e-6)
+
+
+def test_fine_compact_equals_full_when_survivors_fit():
+    """Survivor compaction (DetectParams.fine_compact, config-4 regime):
+    when the number of coarse-phase survivors fits the compacted lane
+    budget, the compacted program returns exactly the same detections
+    as the uncompacted one — compaction is pure capacity semantics, like
+    max_candidates (PARITY.md deviation 2)."""
+    import dataclasses as dc
+
+    det, K, dep, gray, mask = _trained()
+    t_true = np.array([0.04, -0.015, -0.03])
+    dep2, _, gray2 = scenes.render_translated(dep, mask, K, t_true)
+
+    det_c = PoseDetector(
+        detector=det.detector,
+        params=dc.replace(det.params, max_hypotheses=8, fine_compact=4),
+        model_points=det.model_points,
+    )
+    det_c.views = det.views
+    det_f = PoseDetector(
+        detector=det.detector,
+        params=dc.replace(det.params, max_hypotheses=8),
+        model_points=det.model_points,
+    )
+    det_f.views = det.views
+
+    full = det_f.detect_fused(dep2, K, rgb=_bgr(gray2))
+    comp = det_c.detect_fused(dep2, K, rgb=_bgr(gray2))
+    assert full and comp
+    assert len(full) == len(comp)
+    for pf, pc in zip(full, comp):
+        assert pf.class_id == pc.class_id
+        np.testing.assert_allclose(pc.pose, pf.pose, atol=1e-6)
+        np.testing.assert_allclose(pc.residual, pf.residual, atol=1e-8)
