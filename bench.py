@@ -23,11 +23,18 @@ detail fields:
   detect_device_fps         frames/sec implied by the marginal rate
   match_only_fps_120tpl     fused match, 120-template bank (round-1 headline)
   match_fps_1200tpl         fused match, 1200-template bank (SURVEY 6 scaling)
+  match_fps_4000tpl         fused match, 4000-template bank (YCB-scale point
+                            pinning the sweep-scaling curve)
   streaming_4cam_fps        aggregate fps of 4-camera ticks, pipelined
   streaming_tick_ms         mean blocking latency of one 4-camera tick
   detect_fps_192lanes       config-4 shape: 64 hyp slots x 3 seeds = 192
                             ICP lanes/frame at threshold 75
   detections_per_class      headline-scene detection counts (2 GT objects)
+  device_split_ms_batch16   {geometry, match, detect_full} device ms per
+                            16-frame batch (scan-chained executions, RPC
+                            floor subtracted; icp_lift_ms = full - match
+                            - geometry). The per-stage budget the round
+                            targets are written against.
 
 CPU baselines (BASELINE.md, measured on the oracle): match 32.7 fps at
 120 templates, 22.9 fps at 1200; end-to-end detect ~15 fps midpoint.
@@ -244,6 +251,128 @@ def bench_detect(jax, jnp, pd, K, make_frames, B=32, G=4, n_multi=6):
     return pipe_fps, seq_fps, marginal_ms, dev_fps, per_class, group_fps, multi_fps
 
 
+def bench_device_split(jax, jnp, pd, K, make_frames, B=16):
+    """Per-stage DEVICE time of the production detect program, batch 16.
+
+    Times geometry (backproject + FALS + scene pack), the fused match
+    program, and the complete detect program with the scan harness
+    (iterations chained through a data dependency so the tunnel RPC
+    floor amortizes; the floor itself is calibrated and subtracted).
+    icp_lift = detect_full - match - geometry is the round-4 budget
+    line (VERDICT r03 next-3/4). Returns a dict of ms/batch-16."""
+    from object_detector_6d_tpu.api import detect_program as dp_mod
+    from object_detector_6d_tpu.geom.backproject import depth_to_3d
+    from object_detector_6d_tpu.geom.normals import FalsNormals
+    from object_detector_6d_tpu.match import program as mp
+    from object_detector_6d_tpu.refine.projective import pack_scene7
+
+    depths_d, rgbs_d = make_frames(B, 900)
+    Kj = jnp.asarray(K)
+
+    # rpc floor
+    tiny = jax.jit(lambda x: x + 1)
+    np.asarray(tiny(jnp.float32(1.0)))
+    floor = 1e9
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(tiny(jnp.float32(1.0)))
+        floor = min(floor, time.time() - t0)
+
+    def device_time(name, fn, args, iters=6, reps=3):
+        @jax.jit
+        def many(args):
+            def step(acc, _):
+                out = fn(*args, acc * 1e-30)
+                s = jnp.float32(0)
+                for x in jax.tree_util.tree_leaves(out):
+                    s = s + jnp.sum(
+                        jnp.nan_to_num(x.astype(jnp.float32))) * 1e-30
+                return s, None
+            acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=iters)
+            return acc
+
+        t0 = time.time()
+        np.asarray(many(args))
+        log(f"[split] {name} compile+first: {time.time()-t0:.1f}s")
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(many(args))
+            best = min(best, time.time() - t0)
+        ms = (best - floor) / iters * 1e3
+        log(f"[split] {name}: {ms:.2f} ms/batch-{B}")
+        return ms
+
+    # measure the SAME geometry path the detect program runs: the fused
+    # Pallas kernel (cloud + FALS + pack in one VMEM pass) on TPU, the
+    # XLA composition otherwise (ops/geometry_pallas.py gating)
+    impl = "pallas" if jax.default_backend() == "tpu" else "conv"
+    if impl == "pallas":
+        from object_detector_6d_tpu.ops import geometry_pallas as gp
+
+        fscene = gp.FusedScene(480, 640, K)
+
+        def geometry(depths, eps):
+            planes = fscene(depths) + eps  # [B, 8, H, W]
+            scene = jnp.nan_to_num(
+                planes.reshape(planes.shape[0], 8, -1)).transpose(0, 2, 1)
+            return planes[:, 2], scene
+    else:
+        est = FalsNormals(480, 640, K)
+
+        def geometry(depths, eps):
+            def one(d):
+                cloud = depth_to_3d(d, Kj) + eps
+                return pack_scene7(jnp.concatenate([cloud, est(cloud)], -1))
+            return jax.vmap(one)(depths)
+
+    geom_ms = device_time("geometry", geometry, (depths_d,))
+
+    bank = pd.detector.get_bank(None)
+    max_dr = ((bank.max_dr // 16) + 1) * 16
+    match_prog = mp.make_match_program(
+        pd.detector.modality_names, pd.detector.t_at_level, (480, 640),
+        pd.detector.dn_params, pd.detector.cg_params,
+        max_candidates=16, max_dr=max_dr, refine_impl=impl, batch=B,
+    )
+    margs = (
+        [rgbs_d, depths_d],
+        bank.kernels_low, bank.kernels_dec,
+        (bank.feat_plane, bank.feat_dr, bank.feat_dc, bank.feat_n),
+        jnp.asarray(bank.nfeat[0]), jnp.asarray(bank.nfeat[1]),
+        jnp.asarray(bank.sizes[0]), jnp.asarray(bank.sizes[1]),
+    )
+
+    def match_fn(sources, *rest):
+        *bank_args, eps = rest
+        return match_prog(sources, *bank_args, jnp.float32(80.0) + eps)
+
+    match_ms = device_time("match", match_fn, margs)
+
+    views = dp_mod.pack_views(bank, pd.views, pd.model_points)
+    prog = dp_mod.make_detect_program(
+        pd.detector.modality_names, pd.detector.t_at_level, (480, 640),
+        pd.detector.dn_params, pd.detector.cg_params, K,
+        max_candidates=16, max_dr=max_dr, refine_impl=impl,
+        icp=pd.params.icp, batch=B, flat_output=True,
+    )
+
+    def detect_fn(sources, *rest):
+        *bank_args, views, eps = rest
+        return prog(sources, *bank_args, views, jnp.float32(80.0) + eps)
+
+    full_ms = device_time("detect_full", detect_fn, margs + (views,))
+    split = {
+        "geometry": round(geom_ms, 2),
+        "match": round(match_ms, 2),
+        "detect_full": round(full_ms, 2),
+        "icp_lift": round(full_ms - match_ms - geom_ms, 2),
+    }
+    log(f"[split] icp+lift residual: {split['icp_lift']:.2f} ms/batch-{B} "
+        f"-> device ceiling {B / (full_ms / 1e3):.0f} fps")
+    return split
+
+
 def bench_hyp_scaling(jax, jnp, pd, K, make_frames, B=16):
     """Config-4 shape (YCB-style multi-hypothesis): 64 hypothesis slots
     x 3 depth seeds = 192 projective-ICP lanes per frame, lower match
@@ -411,12 +540,18 @@ def main():
                             label="120tpl")
     match_1200 = bench_match(jax, jnp, n_classes=12, per_class=100,
                              label="1200tpl")
+    # YCB-scale bank: one more point on the sweep-scaling curve
+    # (120 / 1200 / 4000). Smaller batch count: the point is the
+    # marginal per-template cost, not retrieval-mode tuning.
+    match_4000 = bench_match(jax, jnp, n_batches=8, n_classes=40,
+                             per_class=100, label="4000tpl")
     pd, K, make_frames = build_detector(jnp)
     (pipe_fps, seq_fps, marginal_ms, dev_fps, per_class, group_fps,
      multi_fps) = bench_detect(jax, jnp, pd, K, make_frames)
     (stream_fps, stream_mode, scan_fps, tickwise_fps,
      tick_ms) = bench_streaming(jax, jnp, pd, K, make_frames)
     hyp192_fps = bench_hyp_scaling(jax, jnp, pd, K, make_frames)
+    split = bench_device_split(jax, jnp, pd, K, make_frames)
 
     print(
         json.dumps(
@@ -435,6 +570,7 @@ def main():
                     "detect_device_fps": round(dev_fps, 2),
                     "match_only_fps_120tpl": round(match_fps, 2),
                     "match_fps_1200tpl": round(match_1200, 2),
+                    "match_fps_4000tpl": round(match_4000, 2),
                     "match_vs_cpu": round(match_fps / CPU_MATCH_FPS, 2),
                     "match_1200_vs_cpu": round(
                         match_1200 / CPU_MATCH_1200_FPS, 2),
@@ -444,6 +580,7 @@ def main():
                     "streaming_tickwise_fps": round(tickwise_fps, 2),
                     "streaming_tick_ms": round(tick_ms, 2),
                     "detect_fps_192lanes": round(hyp192_fps, 2),
+                    "device_split_ms_batch16": split,
                     "detections_per_class_16f": per_class,
                     "cpu_detect_baseline_fps": CPU_DETECT_FPS,
                     "cpu_match_baseline_fps": CPU_MATCH_FPS,
