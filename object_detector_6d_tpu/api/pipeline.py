@@ -112,6 +112,7 @@ class PoseDetector:
         scene_window: int = 160,
         scene_points_stride: int = 2,
         mesh=None,
+        lift_impl: str = "hist",
     ):
         """``mesh``: optional 2D (data, model) jax Mesh
         (parallel/sharding.make_mesh). When set, detect_fused_batch
@@ -125,6 +126,7 @@ class PoseDetector:
         self.scene_window = scene_window
         self.scene_stride = scene_points_stride
         self.mesh = mesh
+        self.lift_impl = lift_impl
         self.views: Dict[Tuple[str, int], _ViewRecord] = {}
         from object_detector_6d_tpu.utils.metrics import PipelineCounters
 
@@ -275,7 +277,7 @@ class PoseDetector:
         if fc and tp > 1:
             fc = -(-fc // tp) * tp  # divisible by the model axis
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None,
-                fc)
+                fc, self.lift_impl)
         prog = cache.get(pkey)
         if prog is None:
             import jax
@@ -297,6 +299,7 @@ class PoseDetector:
                 mesh=mesh,
                 device_nms=True,
                 fine_compact=fc,
+                lift_impl=self.lift_impl,
             )
             cache[pkey] = prog
         sources_b = []
@@ -399,7 +402,7 @@ class PoseDetector:
         max_dr = ((bank.max_dr // 16) + 1) * 16
         K_cap = max(8, p.max_hypotheses)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False,
-                p.fine_compact)
+                p.fine_compact, self.lift_impl)
         prog = cache.get(pkey)
         if prog is None:
             import jax
@@ -411,7 +414,7 @@ class PoseDetector:
                 np.asarray(K, np.float64), max_candidates=K_cap,
                 max_dr=max_dr, refine_impl=refine_impl, icp=p.icp,
                 lift_window=self.scene_window, batch=B, device_nms=True,
-                fine_compact=p.fine_compact,
+                fine_compact=p.fine_compact, lift_impl=self.lift_impl,
             )
             cache[pkey] = prog
         mkey = ("detect_prog_multi", pkey, G)
