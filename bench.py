@@ -29,6 +29,9 @@ detail fields:
   streaming_tick_ms         mean blocking latency of one 4-camera tick
   detect_fps_192lanes       config-4 shape: 64 hyp slots x 3 seeds = 192
                             ICP lanes/frame at threshold 75
+  detect_fps_1200tpl_192lanes  YCB-scale composite: full detect() on a
+                            1202-template bank in the 192-lane regime
+                            (BASELINE configs 2+4 at once)
   detections_per_class      headline-scene detection counts (2 GT objects)
   device_split_ms_batch16   {geometry, match, detect_full} device ms per
                             16-frame batch (scan-chained executions, RPC
@@ -111,6 +114,21 @@ def bench_match(jax, jnp, B=8, n_batches=12, n_classes=12, per_class=10,
     return fps
 
 
+def _add_views(pd, K, scenes):
+    """Register the two benchmark object classes (objA snowman + objB
+    0.78-scale variant) as training views on ``pd``. Returns the scene
+    ingredients for frame rendering."""
+    depA, grayA, maskA = scenes.snowman_scene()
+    tid = pd.add_view("objA", depA, K, maskA.astype(np.uint8) * 255,
+                      rgb=np.repeat(grayA[..., None], 3, axis=2))
+    assert tid == 0
+    depB, grayB, maskB = scenes.snowman_scene(scale=0.78)
+    tid = pd.add_view("objB", depB, K, maskB.astype(np.uint8) * 255,
+                      rgb=np.repeat(grayB[..., None], 3, axis=2))
+    assert tid == 0
+    return (depA, maskA), (depB, maskB)
+
+
 def build_detector(jnp):
     """Two object classes with registered views + 120 distractor templates.
 
@@ -138,15 +156,7 @@ def build_detector(jnp):
     synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0,
                    detector=pd.detector)
     K = scenes.K_DEFAULT
-
-    depA, grayA, maskA = scenes.snowman_scene()
-    tid = pd.add_view("objA", depA, K, maskA.astype(np.uint8) * 255,
-                      rgb=np.repeat(grayA[..., None], 3, axis=2))
-    assert tid == 0
-    depB, grayB, maskB = scenes.snowman_scene(scale=0.78)
-    tid = pd.add_view("objB", depB, K, maskB.astype(np.uint8) * 255,
-                      rgb=np.repeat(grayB[..., None], 3, axis=2))
-    assert tid == 0
+    (depA, maskA), (depB, maskB) = _add_views(pd, K, scenes)
     log(f"detect bank: {pd.detector.num_templates()} templates, "
         f"2 object classes with views")
 
@@ -285,8 +295,16 @@ def bench_device_split(jax, jnp, pd, K, make_frames, B=16):
                 out = fn(*args, acc * 1e-30)
                 s = jnp.float32(0)
                 for x in jax.tree_util.tree_leaves(out):
-                    s = s + jnp.sum(
-                        jnp.nan_to_num(x.astype(jnp.float32))) * 1e-30
+                    # posinf/neginf -> 0: the detect program's flat output
+                    # carries jnp.inf residuals for failed/padded lanes;
+                    # the default nan_to_num maps them to float32-max and
+                    # two of them overflow the accumulator to inf, which
+                    # feeds the NEXT iteration's threshold and degenerates
+                    # scan iterations 2..N (ADVICE r04: icp_lift was
+                    # biased low)
+                    s = s + jnp.sum(jnp.nan_to_num(
+                        x.astype(jnp.float32), posinf=0.0, neginf=0.0,
+                    )) * 1e-30
                 return s, None
             acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=iters)
             return acc
@@ -427,6 +445,65 @@ def bench_hyp_scaling(jax, jnp, pd, K, make_frames, B=16):
     return fps
 
 
+def bench_detect_scale(jax, jnp, pd, K, make_frames, B=16):
+    """YCB-scale composite point (BASELINE configs 2+4): full detect()
+    on a 1202-template bank (12 classes x 100 distractors + the two
+    view classes) in the 192-ICP-lane hypothesis regime (64 slots x 3
+    seeds, threshold 75, fine_compact 16). Pins the cost composition the
+    SURVEY section-6 model predicts: coarse sweep scales with nT while
+    the refine/ICP stages scale with lanes — the two big knobs at once."""
+    import dataclasses as dc
+
+    sys.path.insert(0, "tools")
+    import scenes
+
+    from object_detector_6d_tpu.api.pipeline import PoseDetector
+    from object_detector_6d_tpu.data.synthetic import synthetic_bank
+
+    pdl = PoseDetector(
+        params=dc.replace(pd.params, max_hypotheses=64,
+                          match_threshold=75.0, fine_compact=16),
+        model_points=pd.model_points,
+    )
+    synthetic_bank(n_classes=12, per_class=100, bbox_px=120, seed=0,
+                   detector=pdl.detector)
+    _add_views(pdl, K, scenes)
+    log(f"scale bank: {pdl.detector.num_templates()} templates, 192 lanes")
+    inputs = [make_frames(B, 300 + s) for s in range(2)]
+
+    thr = 75.0
+    while True:
+        t0 = time.time()
+        out = pdl.detect_fused_batch(inputs[0][0], K, inputs[0][1],
+                                     match_threshold=thr)
+        n_det = sum(len(p) for p in out)
+        n_over = pdl.counters.counts["overflow_fallback"]
+        log(f"scale1200 thr={thr:.0f} compile+first batch: "
+            f"{time.time()-t0:.1f}s, {n_det} detections over {B} frames, "
+            f"overflow fallbacks: {n_over}")
+        if n_over == 0 or thr >= 80.0:
+            break
+        pdl.counters.counts["overflow_fallback"] = 0
+        thr += 2.0
+
+    def run(n, group=4):
+        t0 = time.time()
+        hs = [pdl.detect_fused_dispatch(inputs[i % 2][0], K,
+                                        inputs[i % 2][1],
+                                        match_threshold=thr)
+              for i in range(n)]
+        for i in range(0, n, group):
+            pdl.detect_fused_finalize_many(hs[i:i + group])
+        return time.time() - t0
+
+    run(4)  # warm the group-stack program
+    dt = run(8)
+    fps = 8 * B / dt
+    log(f"scale1200 pipelined: {dt/8*1e3:.1f} ms/batch of {B} -> "
+        f"{fps:.1f} fps (1202 templates, 192 ICP lanes/frame)")
+    return fps
+
+
 def bench_streaming(jax, jnp, pd, K, make_frames, n_cam=4, n_ticks=16):
     """Config 5: one tick = one fused call over the 4-camera batch."""
     from object_detector_6d_tpu.api.streaming import StreamingDetector
@@ -551,6 +628,7 @@ def main():
     (stream_fps, stream_mode, scan_fps, tickwise_fps,
      tick_ms) = bench_streaming(jax, jnp, pd, K, make_frames)
     hyp192_fps = bench_hyp_scaling(jax, jnp, pd, K, make_frames)
+    scale1200_fps = bench_detect_scale(jax, jnp, pd, K, make_frames)
     split = bench_device_split(jax, jnp, pd, K, make_frames)
 
     print(
@@ -580,6 +658,7 @@ def main():
                     "streaming_tickwise_fps": round(tickwise_fps, 2),
                     "streaming_tick_ms": round(tick_ms, 2),
                     "detect_fps_192lanes": round(hyp192_fps, 2),
+                    "detect_fps_1200tpl_192lanes": round(scale1200_fps, 2),
                     "device_split_ms_batch16": split,
                     "detections_per_class_16f": per_class,
                     "cpu_detect_baseline_fps": CPU_DETECT_FPS,

@@ -15,6 +15,8 @@ flat/cluster output) and diffing steady-state device time:
   compact8+s2       fine_compact=8, num_seeds=2    -> combined economy
   lift_sort         lift_impl="sort"               -> lift estimator delta
   iters_down        icp 24 iters / 4 levels        -> iteration ceiling
+  solves2           2 GN solves per association    -> gather-traffic halving
+  solves2_all       solves2 + compact8 + 2 seeds   -> full promoted economy
 
 Every variant is detection-equivalent on the headline scene except
 iters_down (accuracy knob) — parity is re-run whenever a variant is
@@ -115,8 +117,12 @@ def main():
                 out = fn(*args, acc * 1e-30)
                 s = jnp.float32(0)
                 for x in jax.tree_util.tree_leaves(out):
-                    s = s + jnp.sum(
-                        jnp.nan_to_num(x.astype(jnp.float32))) * 1e-30
+                    # posinf/neginf -> 0: inf residuals in the flat output
+                    # otherwise overflow the accumulator and degenerate
+                    # scan iterations 2..N (ADVICE r04)
+                    s = s + jnp.sum(jnp.nan_to_num(
+                        x.astype(jnp.float32), posinf=0.0, neginf=0.0,
+                    )) * 1e-30
                 return s, None
             acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=iters)
             return acc
@@ -171,6 +177,11 @@ def main():
     from object_detector_6d_tpu.core.config import ICPParams as _I
     deltas["iters(32->24)"] = full - run_variant(
         "iters_down", icp=_I(iterations=24, num_levels=4))
+    deltas["solves2"] = full - run_variant(
+        "solves2", icp=_I(iterations=32, num_levels=4, solves_per_assoc=2))
+    deltas["solves2+c8+s2"] = full - run_variant(
+        "solves2_all", fine_compact=8, num_seeds=2,
+        icp=_I(iterations=32, num_levels=4, solves_per_assoc=2))
     log("\n  deltas vs full:")
     for k, v in deltas.items():
         log(f"    {k:24s} {v:+7.2f} ms/batch-{B}")
