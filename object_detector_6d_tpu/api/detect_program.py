@@ -247,6 +247,7 @@ def unflatten_cluster_outputs(flat: np.ndarray, K_cap: int):
 
 
 LIFT_HIST_BINS = 128
+LIFT_HIST_SPAN_CAP = 1.0  # metres — bounds bin width (see _hist_quantiles)
 
 
 def _hist_quantiles(w: jnp.ndarray, qlevels: jnp.ndarray) -> jnp.ndarray:
@@ -256,15 +257,25 @@ def _hist_quantiles(w: jnp.ndarray, qlevels: jnp.ndarray) -> jnp.ndarray:
     the exact quantile sorts the whole window subsample (~5.9 ms per
     16-frame batch at K=16 candidates, tools/prof_icp.py lift pieces),
     but ICP seeds only need to land within ~15 mm of the surface
-    (seed_min_gap dedup granularity). A 128-bin histogram over the
-    window's own [min, max] depth range bounds the error by one bin
-    width — bbox-masked windows span well under a metre, so <=8 mm
-    worst-case and typically 2-5 mm — with zero sorts: one compare+
-    reduce for the counts, a cumsum, and a rank lookup per level, all
-    VPU elementwise. Linear interpolation inside the selected bin
-    matches nanquantile's convention (order position q*(n-1)) assuming
-    uniform in-bin spread. All-NaN windows return NaN (the caller's
-    ``finite`` mask drops those seeds), matching nanquantile.
+    (seed_min_gap dedup granularity). A 128-bin histogram bounds the
+    error by one bin width — with zero sorts: one compare+reduce for the
+    counts, a cumsum, and a rank lookup per level, all VPU elementwise.
+    Linear interpolation inside the selected bin matches nanquantile's
+    convention (order position q*(n-1)) assuming uniform in-bin spread.
+    All-NaN windows return NaN (the caller's ``finite`` mask drops those
+    seeds), matching nanquantile.
+
+    Error bound: the bins cover [zmin, zmin + min(span, SPAN_CAP=1 m)]
+    of the window's finite depths, so bin width — and the worst-case
+    quantile error for in-range values — is <= 1000/128 = 7.9 mm, under
+    the 15 mm seed tolerance REGARDLESS of how deep the background
+    behind the object is. Values beyond the cap (a far wall inside the
+    bbox margin) pile into the last bin: a quantile landing there
+    returns ~zmin+1 m instead of the true background depth — a mid-air
+    seed that the coarse-ICP inlier gate drops, the same fate the true
+    background seed meets. Sparse windows additionally deviate from
+    nanquantile by inter-sample gaps (not bin width); test_lift_hist
+    pins both envelopes.
     """
     flat = w.reshape(-1)
     fin = jnp.isfinite(flat)
@@ -274,6 +285,7 @@ def _hist_quantiles(w: jnp.ndarray, qlevels: jnp.ndarray) -> jnp.ndarray:
     big = jnp.float32(3.4e38)
     zmin = jnp.min(jnp.where(fin, flat, big))
     zmax = jnp.max(jnp.where(fin, flat, -big))
+    zmax = jnp.minimum(zmax, zmin + jnp.float32(LIFT_HIST_SPAN_CAP))
     width = jnp.maximum(zmax - zmin, 1e-9) / LIFT_HIST_BINS
     idx = jnp.clip(
         ((vals - zmin) / width).astype(jnp.int32), 0, LIFT_HIST_BINS - 1
@@ -430,7 +442,12 @@ def make_detect_program(
     # M < K_cap -> only the M best candidates by coarse residual run the
     # fine levels; the rest drop (capacity semantics)
     M_fine = fine_compact if (0 < fine_compact < K_cap) else K_cap
-    iters = max(1, icp.iterations // icp.num_levels)
+    # ``solves_per_assoc`` > 1 trades scene-gather passes (the ICP
+    # stage's device cost) for extra fixed-pair GN solves (~free):
+    # iters_per_level counts ASSOCIATIONS, so the total GN-update budget
+    # iterations/num_levels is preserved while gathers divide by solves.
+    n_solves = max(1, icp.solves_per_assoc)
+    iters = max(1, icp.iterations // icp.num_levels // n_solves)
     # NOTE the update-norm early-exit is NOT icp.tolerance (the NN
     # rule's semantics don't transfer — refine/projective.py docstring).
     # With the normal-compatibility gate, accuracy is insensitive to
@@ -513,7 +530,7 @@ def make_detect_program(
             lambda m, p: icp_levels(
                 m, p, scene7, fx, fy, cx, cy, H, W,
                 levels=coarse_levels, iters_per_level=iters,
-                tolerance=proj_tol,
+                tolerance=proj_tol, solves=n_solves,
             )
         )(flat_models, flat_poses)
 
@@ -545,7 +562,7 @@ def make_detect_program(
             lambda m, p: icp_levels(
                 m, p, scene7, fx, fy, cx, cy, H, W,
                 levels=fine_levels, iters_per_level=iters,
-                tolerance=proj_tol,
+                tolerance=proj_tol, solves=n_solves,
             )
         )(models, poses)
 

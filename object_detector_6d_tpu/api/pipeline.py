@@ -276,8 +276,9 @@ class PoseDetector:
         fc = p.fine_compact
         if fc and tp > 1:
             fc = -(-fc // tp) * tp  # divisible by the model axis
+        icp_key = (p.icp.iterations, p.icp.num_levels, p.icp.solves_per_assoc)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None,
-                fc, self.lift_impl)
+                fc, self.lift_impl, icp_key)
         prog = cache.get(pkey)
         if prog is None:
             import jax
@@ -401,8 +402,9 @@ class PoseDetector:
         kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
         max_dr = ((bank.max_dr // 16) + 1) * 16
         K_cap = max(8, p.max_hypotheses)
+        icp_key = (p.icp.iterations, p.icp.num_levels, p.icp.solves_per_assoc)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False,
-                p.fine_compact, self.lift_impl)
+                p.fine_compact, self.lift_impl, icp_key)
         prog = cache.get(pkey)
         if prog is None:
             import jax

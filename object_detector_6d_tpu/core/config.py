@@ -56,12 +56,23 @@ class DetectorParams:
 
 @dataclasses.dataclass(frozen=True)
 class ICPParams:
-    """Point-to-plane ICP parameters (icp.hpp:90-98, 117)."""
+    """Point-to-plane ICP parameters (icp.hpp:90-98, 117).
+
+    ``solves_per_assoc`` is TPU-specific (no oracle analog): in the
+    projective-association path (refine/projective.py) each iteration
+    associates once (the scene gather — the stage's entire device cost)
+    and then runs this many Gauss-Newton solves on the fixed
+    correspondence set. The correspondence field only changes when
+    points cross pixel boundaries, so a second solve on fixed pairs
+    recovers most of a fresh association's progress at zero gather
+    cost. Ignored by the brute-force NN path (refine/icp.py).
+    """
 
     iterations: int = 250
     tolerance: float = 0.005
     rejection_scale: float = 2.5
     num_levels: int = 6
+    solves_per_assoc: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

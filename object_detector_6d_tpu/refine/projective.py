@@ -94,7 +94,7 @@ def _chol_solve6(A, b):
     return jnp.stack(x, -1)
 
 
-def _proj_step(
+def _associate(
     pose,
     model_pc,  # [n, 6] xyz+normal (finite; masked rows via ``mask``)
     mask,  # [n] bool valid model rows
@@ -103,7 +103,13 @@ def _proj_step(
     max_corr_dist,
     min_normal_cos,
 ):
-    """One projective point-to-plane iteration."""
+    """Projective data association: (scene point, normal, weight) per row.
+
+    The gather from the [H*W, 7] scene is THE cost of projective ICP on
+    TPU (~22 ns/row, XLA row-gather; tools/prof_icp.py) — everything
+    downstream of it is VPU elementwise + tiny MXU matmuls. Callers
+    amortize it by running more than one Gauss-Newton solve per
+    association (see _proj_step's ``solves``)."""
     mp = SE3.apply(pose, model_pc[:, :3])
     mn = SE3.rotate(pose, model_pc[:, 3:6])
     z = mp[:, 2]
@@ -123,7 +129,12 @@ def _proj_step(
         & (d2 <= max_corr_dist * max_corr_dist)
         & (ncos >= min_normal_cos)
     ).astype(jnp.float32)
+    return qp, qn, w
 
+
+def _gn_solve(pose, model_pc, qp, qn, w):
+    """One point-to-plane Gauss-Newton solve on FIXED correspondences."""
+    mp = SE3.apply(pose, model_pc[:, :3])
     r = jnp.sum((mp - qp) * qn, axis=-1)
     wsum = jnp.maximum(jnp.sum(w), 1.0)
     c = jnp.sum(mp * w[:, None], axis=0) / wsum
@@ -137,7 +148,38 @@ def _proj_step(
     unshift = SE3.from_rt(jnp.eye(3, dtype=pose.dtype), -c)
     new_pose = SE3.compose(shift, SE3.compose(dT, SE3.compose(unshift, pose)))
     residual = jnp.sum(jnp.abs(r) * w) / wsum
-    return new_pose, jnp.linalg.norm(x), residual, jnp.sum(w)
+    return new_pose, jnp.linalg.norm(x), residual
+
+
+def _proj_step(
+    pose,
+    model_pc,  # [n, 6] xyz+normal (finite; masked rows via ``mask``)
+    mask,  # [n] bool valid model rows
+    scene7,  # [H*W, 7] packed organized scene (pack_scene7)
+    fx, fy, cx, cy, H, W,
+    max_corr_dist,
+    min_normal_cos,
+    solves: int = 1,
+):
+    """One projective point-to-plane iteration: associate once, then run
+    ``solves`` Gauss-Newton updates on the fixed correspondence set.
+
+    With fixed pairs the point-to-plane objective is a linearized least
+    squares, so the first solve lands at (the linearization of) its
+    optimum; a second solve re-linearizes the twist around the new pose
+    and recovers most of what a fresh association would — while the
+    association gather is the stage's entire cost (see _associate).
+    ``solves=2`` halves gather traffic per effective iteration; the
+    residual/update returned are those of the LAST solve."""
+    qp, qn, w = _associate(
+        pose, model_pc, mask, scene7, fx, fy, cx, cy, H, W,
+        max_corr_dist, min_normal_cos,
+    )
+    new_pose, upd, residual = _gn_solve(pose, model_pc, qp, qn, w)
+    for _ in range(solves - 1):
+        new_pose, upd2, residual = _gn_solve(new_pose, model_pc, qp, qn, w)
+        upd = upd + upd2
+    return new_pose, upd, residual, jnp.sum(w)
 
 
 def icp_levels(
@@ -152,6 +194,7 @@ def icp_levels(
     tolerance: float = 1e-4,
     corr_dist_base: float = 0.015,
     min_normal_cos: float = 0.5,
+    solves: int = 1,
 ):
     """Run the given pyramid levels; returns (residual, pose, n_inliers).
 
@@ -162,7 +205,11 @@ def icp_levels(
     field only changes when points cross pixel boundaries), so the
     oracle's tolerance stops it ~25 mm early on lateral axes [measured
     on the snowman scene: tol=5e-3 -> 26 mm x-error, tol=1e-4 ->
-    1.3 mm].
+    1.3 mm]. ``solves``: Gauss-Newton updates per association
+    (ICPParams.solves_per_assoc) — ``iters_per_level`` then counts
+    associations, so 2 solves halves the gather traffic at an equal
+    update budget when callers also halve iters_per_level, or deepens
+    convergence at equal gather cost when they don't.
     """
     N = model_pc.shape[0]
     tolerance = jnp.float32(tolerance)
@@ -182,6 +229,7 @@ def icp_levels(
             new_pose, upd, res, nin = _proj_step(
                 pose, sample, mask, scene7,
                 fx, fy, cx, cy, H, W, cap, jnp.float32(min_normal_cos),
+                solves=solves,
             )
             return i + 1, new_pose, res, upd, nin
 
@@ -208,6 +256,7 @@ def projective_icp(
     rejection_scale: float = 2.5,  # kept for signature parity; unused
     num_levels: int = 6,
     corr_dist_base: float = 0.015,
+    solves: int = 1,
 ):
     """Full coarse-to-fine refinement of one pose; vmap for batches.
 
@@ -224,7 +273,8 @@ def projective_icp(
     return icp_levels(
         model_pc, pose0, scene7, fx, fy, cx, cy, H, W,
         levels=tuple(range(num_levels - 1, -1, -1)),
-        iters_per_level=max(1, iterations // num_levels),
+        iters_per_level=max(1, iterations // num_levels // max(1, solves)),
         tolerance=tolerance,
         corr_dist_base=corr_dist_base,
+        solves=solves,
     )

@@ -7,6 +7,7 @@ association (refine/projective.py). Poses agree to millimeters, not
 bit-exactly (documented deviation: association rule differs).
 """
 
+import functools
 import pathlib
 import sys
 
@@ -33,7 +34,13 @@ def _make_detector():
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _trained():
+    """ONE trained detector shared by every test in this module: the
+    compiled fused-program variants live in detector._kernel_cache, and
+    recompiling them per test dominated the fast-suite wall clock
+    (VERDICT r04 weak 6). Tests only call detect methods (no detector
+    mutation), so sharing is safe."""
     det = _make_detector()
     K = scenes.K_DEFAULT
     dep, gray, mask = scenes.snowman_scene()
@@ -111,6 +118,38 @@ def test_fused_dispatch_multi_equals_batches():
             for p, q in zip(multi[g][b], ref[g][b]):
                 assert p.class_id == q.class_id
                 np.testing.assert_allclose(p.pose, q.pose, atol=1e-6)
+
+
+def test_solves_per_assoc_two_matches_one():
+    """ICPParams.solves_per_assoc=2 (associate once, two GN solves on the
+    fixed pairs — halves the scene-gather traffic, the projective ICP
+    stage's entire device cost) must land on the same detections with
+    sub-mm pose agreement vs the solves=1 schedule."""
+    import dataclasses as dc
+
+    det, K, dep, gray, mask = _trained()
+    t_true = np.array([0.04, -0.015, -0.03])
+    dep2, _, gray2 = scenes.render_translated(dep, mask, K, t_true)
+
+    outs = {}
+    for s in (1, 2):
+        pd = PoseDetector(
+            detector=det.detector,
+            params=dc.replace(det.params,
+                              icp=dc.replace(det.params.icp,
+                                             solves_per_assoc=s)),
+            model_points=det.model_points,
+        )
+        pd.views = det.views
+        outs[s] = pd.detect_fused(dep2, K, rgb=_bgr(gray2))
+    assert outs[1] and outs[2]
+    assert len(outs[1]) == len(outs[2])
+    for p1, p2 in zip(outs[1], outs[2]):
+        assert p1.class_id == p2.class_id
+        dt = np.abs(np.asarray(p1.pose)[:3, 3] - np.asarray(p2.pose)[:3, 3])
+        assert dt.max() < 1e-3, dt
+        # both recover the ground truth
+        assert np.all(np.abs(np.asarray(p2.pose)[:3, 3] - t_true) < 0.01)
 
 
 def test_fine_compact_equals_full_when_survivors_fit():

@@ -60,6 +60,27 @@ def test_nan_semantics_match_nanquantile():
     )
 
 
+def test_deep_background_span_capped():
+    """A far wall inside the bbox margin must not widen the bins.
+
+    Pre-cap, a 2.6 m window span meant ~20 mm bins — beyond the 15 mm
+    seed tolerance (ADVICE r04). With the 1 m span cap the object-side
+    quantiles stay bin-width-tight; far-background quantiles collapse to
+    ~zmin+1 m (a mid-air seed the coarse-ICP inlier gate drops, like the
+    true background seed would be)."""
+    rng = np.random.RandomState(2)
+    w = np.full((80, 80), 3.5, np.float32)  # far wall at 3.5 m
+    yy, xx = np.mgrid[:80, :80]
+    obj = ((yy - 40.0) ** 2 + (xx - 40.0) ** 2) < 30.0 ** 2
+    w[obj] = (0.9 + 0.1 * rng.rand(int(obj.sum()))).astype(np.float32)
+    est = np.asarray(_hist_quantiles(jnp.asarray(w), QL))
+    exact = np.nanquantile(w, [0.25, 0.5, 0.75])
+    # ~44% of samples are object: q25 lies ON the object -> tight
+    assert abs(est[0] - exact[0]) * 1e3 < 8.0
+    # capped quantiles stay inside [zmin, zmin + 1 m]
+    assert (est >= 0.9 - 1e-6).all() and (est <= 1.9 + 1e-6).all()
+
+
 def test_random_window_error_bounded_by_sample_gap():
     """Even adversarial sparse windows stay within a few sample gaps."""
     rng = np.random.RandomState(1)
