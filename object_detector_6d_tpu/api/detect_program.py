@@ -328,6 +328,7 @@ def make_detect_program(
     pallas_interpret: bool = False,
     fine_compact: int = 0,
     lift_impl: str = "hist",
+    icp_window: int = 0,
 ):
     """Build the fused detect program for one (frame shape, K) pair.
 
@@ -356,6 +357,17 @@ def make_detect_program(
     ``lift_impl`` selects the hypothesis-lift depth-quantile estimator:
     ``"hist"`` (default, histogram CDF — _hist_quantiles) or ``"sort"``
     (exact jnp.nanquantile; ~5.9 ms/batch-16 slower at K=16).
+
+    ``icp_window`` > 0 runs the FINE ICP phase with the windowed MXU
+    association (refine/projective.py _associate_window): per surviving
+    candidate one static [icp_window, icp_window] crop of the packed
+    scene around the match center replaces the full-scene row gather —
+    the ICP stage's latency-bound device cost — with two dense one-hot
+    contractions (exact gather). Size it to the bank's largest template
+    bbox plus a pose-drift margin (pipeline.py auto-sizes it); 0 keeps
+    the full-scene gather everywhere. The coarse (seed) phase always
+    uses the full-scene gather — its correspondence caps exceed any
+    reasonable window margin at coarse pyramid levels.
 
     With ``mesh`` (a 2D (data, model) jax Mesh, parallel/sharding.py
     make_mesh) the SAME program shards: frames over ``data``, the
@@ -448,6 +460,16 @@ def make_detect_program(
     # iterations/num_levels is preserved while gathers divide by solves.
     n_solves = max(1, icp.solves_per_assoc)
     iters = max(1, icp.iterations // icp.num_levels // n_solves)
+    # ICPParams.finest_assoc: polish-budget cap on the finest (full
+    # model cloud) level — it holds ~half the stage's gather rows, but
+    # by the time it runs the stride-2 level has converged the pose to
+    # sub-pixel projection error, so its correspondence field is static
+    # from the first association (config.py docstring).
+    fine_iters = [
+        min(iters, icp.finest_assoc) if (lvl == 0 and icp.finest_assoc > 0)
+        else iters
+        for lvl in fine_levels
+    ]
     # NOTE the update-norm early-exit is NOT icp.tolerance (the NN
     # rule's semantics don't transfer — refine/projective.py docstring).
     # With the normal-compatibility gate, accuracy is insensitive to
@@ -522,7 +544,11 @@ def make_detect_program(
         n_model_valid = jnp.maximum(
             jnp.isfinite(models[..., 0]).sum(-1).astype(jnp.float32), 1.0
         )  # [K]
-        return tids, keep, seed_ok, pose0, models, n_model_valid
+        # fine-phase window origins (icp_window > 0): one static-size
+        # crop around each match center replaces the full-scene gather
+        wy0 = jnp.clip(cy_i - icp_window // 2, 0, max(H - icp_window, 0))
+        wx0 = jnp.clip(cx_i - icp_window // 2, 0, max(W - icp_window, 0))
+        return tids, keep, seed_ok, pose0, models, n_model_valid, wy0, wx0
 
     def icp_coarse(scene7, flat_models, flat_poses):
         """Phase 1: coarse levels over any number of hypothesis lanes."""
@@ -556,15 +582,36 @@ def make_detect_program(
         )[:, 0]
         return best_res, best_pose
 
-    def icp_fine(scene7, models, poses):
-        """Phase 2: the two finest levels (full model cloud)."""
+    def icp_fine(scene7, models, poses, wins=None):
+        """Phase 2: the remaining (fine) levels; ``wins`` switches the
+        association to the windowed MXU path (icp_window > 0)."""
+        if wins is None:
+            return jax.vmap(
+                lambda m, p: icp_levels(
+                    m, p, scene7, fx, fy, cx, cy, H, W,
+                    levels=fine_levels, iters_per_level=fine_iters,
+                    tolerance=proj_tol, solves=n_solves,
+                )
+            )(models, poses)
+        win_imgs, wys, wxs = wins
         return jax.vmap(
-            lambda m, p: icp_levels(
+            lambda m, p, wi, wy, wx: icp_levels(
                 m, p, scene7, fx, fy, cx, cy, H, W,
-                levels=fine_levels, iters_per_level=iters,
+                levels=fine_levels, iters_per_level=fine_iters,
                 tolerance=proj_tol, solves=n_solves,
+                window=(wi, wy, wx),
             )
-        )(models, poses)
+        )(models, poses, win_imgs, wys, wxs)
+
+    def crop_windows(scene7, wy0, wx0):
+        """[M] origins -> ([M, iw, iw, C], wy0, wx0) window crops."""
+        C = scene7.shape[-1]
+        scene_img = scene7.reshape(H, W, C)
+        crops = jax.vmap(
+            lambda y0, x0: jax.lax.dynamic_slice(
+                scene_img, (y0, x0, 0), (icp_window, icp_window, C))
+        )(wy0, wx0)
+        return crops, wy0, wx0
 
     def lift_and_refine(z_img, scene7, packed, views: PackedViews):
         """Single frame: [5, K+1] match arrays -> refined poses [K].
@@ -575,7 +622,7 @@ def make_detect_program(
         and only K lanes pay for every remaining level (the finest
         level sweeps the full model cloud, ~75% of the
         point-iterations)."""
-        tids, keep, seed_ok, pose0, models, n_model_valid = lift(
+        tids, keep, seed_ok, pose0, models, n_model_valid, wy0, wx0 = lift(
             z_img, scene7, packed, views
         )
         flat_models = jnp.broadcast_to(
@@ -594,15 +641,19 @@ def make_detect_program(
             # non-selected lanes drop exactly like coarse failures
             rank = jnp.where(jnp.isfinite(best_res), best_res, jnp.inf)
             sel = jnp.argsort(rank)[:M_fine]
+            wins = (crop_windows(scene7, wy0[sel], wx0[sel])
+                    if icp_window > 0 else None)
             res2, poses2, nin2 = icp_fine(scene7, models[sel],
-                                          best_pose[sel])
+                                          best_pose[sel], wins)
             enough2 = nin2 >= min_inlier_frac * n_model_valid[sel]
             res_f = jnp.where(
                 jnp.isfinite(best_res[sel]) & enough2, res2, jnp.inf)
             best_res = jnp.full_like(best_res, jnp.inf).at[sel].set(res_f)
             best_pose = best_pose.at[sel].set(poses2)
         elif fine_levels:
-            res2, poses2, nin2 = icp_fine(scene7, models, best_pose)
+            wins = (crop_windows(scene7, wy0, wx0)
+                    if icp_window > 0 else None)
+            res2, poses2, nin2 = icp_fine(scene7, models, best_pose, wins)
             enough2 = nin2 >= min_inlier_frac * n_model_valid
             best_res = jnp.where(
                 jnp.isfinite(best_res) & enough2, res2, jnp.inf
@@ -628,7 +679,7 @@ def make_detect_program(
         (cheaper than communicating an [H*W, 7] scene)."""
         tp = mesh.shape["model"]
         mi = jax.lax.axis_index("model")
-        tids, keep, seed_ok, pose0, models, n_model_valid = lift(
+        tids, keep, seed_ok, pose0, models, n_model_valid, wy0, wx0 = lift(
             z_img, scene7, packed, views
         )
         lanes1 = (K_cap * S) // tp
@@ -655,8 +706,10 @@ def make_detect_program(
             sel = jnp.argsort(rank)[:M_fine]
             lanes2 = M_fine // tp
             sel_l = jax.lax.dynamic_slice_in_dim(sel, mi * lanes2, lanes2)
+            wins = (crop_windows(scene7, wy0[sel_l], wx0[sel_l])
+                    if icp_window > 0 else None)
             res2, poses2, nin2 = icp_fine(scene7, models[sel_l],
-                                          best_pose[sel_l])
+                                          best_pose[sel_l], wins)
             res2 = jax.lax.all_gather(res2, "model", axis=0, tiled=True)
             poses2 = jax.lax.all_gather(poses2, "model", axis=0, tiled=True)
             nin2 = jax.lax.all_gather(nin2, "model", axis=0, tiled=True)
@@ -669,7 +722,12 @@ def make_detect_program(
             lanes2 = K_cap // tp
             m_l = jax.lax.dynamic_slice_in_dim(models, mi * lanes2, lanes2)
             p_l = jax.lax.dynamic_slice_in_dim(best_pose, mi * lanes2, lanes2)
-            res2, poses2, nin2 = icp_fine(scene7, m_l, p_l)
+            wins = None
+            if icp_window > 0:
+                wy_l = jax.lax.dynamic_slice_in_dim(wy0, mi * lanes2, lanes2)
+                wx_l = jax.lax.dynamic_slice_in_dim(wx0, mi * lanes2, lanes2)
+                wins = crop_windows(scene7, wy_l, wx_l)
+            res2, poses2, nin2 = icp_fine(scene7, m_l, p_l, wins)
             res2 = jax.lax.all_gather(res2, "model", axis=0, tiled=True)
             poses2 = jax.lax.all_gather(poses2, "model", axis=0, tiled=True)
             nin2 = jax.lax.all_gather(nin2, "model", axis=0, tiled=True)

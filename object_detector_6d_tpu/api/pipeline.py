@@ -276,7 +276,13 @@ class PoseDetector:
         fc = p.fine_compact
         if fc and tp > 1:
             fc = -(-fc // tp) * tp  # divisible by the model axis
-        icp_key = (p.icp.iterations, p.icp.num_levels, p.icp.solves_per_assoc)
+        iw = p.icp_window
+        if iw < 0:  # auto: largest template bbox + 64 px drift margin
+            mb = int(np.max(bank.sizes[0])) if len(bank.sizes[0]) else 0
+            iw = min(256, max(96, -(-(mb + 64) // 8) * 8))
+            iw = min(iw, H, W)
+        icp_key = (p.icp.iterations, p.icp.num_levels,
+                   p.icp.solves_per_assoc, p.icp.finest_assoc, iw)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None,
                 fc, self.lift_impl, icp_key)
         prog = cache.get(pkey)
@@ -301,6 +307,7 @@ class PoseDetector:
                 device_nms=True,
                 fine_compact=fc,
                 lift_impl=self.lift_impl,
+                icp_window=iw,
             )
             cache[pkey] = prog
         sources_b = []
@@ -402,7 +409,13 @@ class PoseDetector:
         kb = np.ascontiguousarray(np.asarray(K, np.float64)).tobytes()
         max_dr = ((bank.max_dr // 16) + 1) * 16
         K_cap = max(8, p.max_hypotheses)
-        icp_key = (p.icp.iterations, p.icp.num_levels, p.icp.solves_per_assoc)
+        iw = p.icp_window
+        if iw < 0:  # auto: largest template bbox + 64 px drift margin
+            mb = int(np.max(bank.sizes[0])) if len(bank.sizes[0]) else 0
+            iw = min(256, max(96, -(-(mb + 64) // 8) * 8))
+            iw = min(iw, H, W)
+        icp_key = (p.icp.iterations, p.icp.num_levels,
+                   p.icp.solves_per_assoc, p.icp.finest_assoc, iw)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False,
                 p.fine_compact, self.lift_impl, icp_key)
         prog = cache.get(pkey)
@@ -417,6 +430,7 @@ class PoseDetector:
                 max_dr=max_dr, refine_impl=refine_impl, icp=p.icp,
                 lift_window=self.scene_window, batch=B, device_nms=True,
                 fine_compact=p.fine_compact, lift_impl=self.lift_impl,
+                icp_window=iw,
             )
             cache[pkey] = prog
         mkey = ("detect_prog_multi", pkey, G)

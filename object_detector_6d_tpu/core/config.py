@@ -66,6 +66,17 @@ class ICPParams:
     points cross pixel boundaries, so a second solve on fixed pairs
     recovers most of a fresh association's progress at zero gather
     cost. Ignored by the brute-force NN path (refine/icp.py).
+
+    ``finest_assoc`` is TPU-specific too: if > 0 it caps the number of
+    associations run at the FINEST pyramid level (the full model
+    cloud — ~half the stage's gather rows since every coarser level
+    strides the model by 2^level). By the time the finest level runs,
+    the stride-2 level has already converged the pose to sub-pixel
+    projection error, so the finest level's correspondence field is
+    static from its first association; its job is the final polish
+    solves and the full-cloud residual/inlier census, which one or two
+    associations deliver. 0 = no cap (finest level runs the same
+    budget as every other level).
     """
 
     iterations: int = 250
@@ -73,6 +84,7 @@ class ICPParams:
     rejection_scale: float = 2.5
     num_levels: int = 6
     solves_per_assoc: int = 1
+    finest_assoc: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,3 +119,20 @@ class DetectParams:
     # max_candidates (PARITY.md deviation 2). 0 = off (every lane runs
     # fine).
     fine_compact: int = 0
+    # Windowed MXU association for the fine ICP phase (refine/projective
+    # _associate_window): per surviving candidate, one static crop of
+    # the packed scene around the match center replaces the latency-
+    # bound full-scene row gather with two dense one-hot contractions
+    # (exact gather; the only deviation is that correspondences beyond
+    # the window margin are rejected — which the distance cap mostly
+    # rejects anyway). -1 = auto-size from the template bank's largest
+    # bbox plus a 64 px pose-drift margin (pipeline.py); 0 = off
+    # (full-scene gather everywhere); > 0 = explicit window size in px.
+    # DEFAULT OFF: the 2026-08-21 ablation (tools/prof_detect_ablate.py)
+    # measured the one-hot contraction formulation 8.3 ms/batch-16
+    # SLOWER than the row gather at the headline shapes — the HIGHEST-
+    # precision matmul (needed for exactness) costs 6 bf16 MXU passes
+    # over the full [n, window^2] one-hot volume, which exceeds the
+    # latency-bound gather it replaces. Kept as an opt-in: the
+    # formulation wins only if the window is small (<= ~128 px).
+    icp_window: int = 0

@@ -132,6 +132,66 @@ def _associate(
     return qp, qn, w
 
 
+def _associate_window(
+    pose,
+    model_pc,  # [n, 6] xyz+normal (finite; masked rows via ``mask``)
+    mask,  # [n] bool valid model rows
+    win_img,  # [wh, ww, C] f32 window crop of the packed scene (C >= 7)
+    y0, x0,  # window origin in full-frame pixels (i32 scalars)
+    fx, fy, cx, cy,
+    max_corr_dist,
+    min_normal_cos,
+):
+    """Windowed projective association as TWO dense MXU contractions.
+
+    The full-scene row gather (_associate) runs at ~22 ns/row on v5e —
+    a latency-bound XLA gather from the [H*W, 7] table, and the whole
+    device cost of the ICP stage. But every fine-phase correspondence
+    lies inside a small window around the match center (the pose is
+    already seeded within ~15 mm ≈ 10 px), so the gather target can be
+    a VMEM-sized window crop, and a gather from a window factorizes
+    into dense math the MXU eats: one-hot row selection
+    ``[n, wh] @ [wh, ww*C]`` followed by a one-hot column contraction
+    (elementwise multiply + reduce on the VPU). Both one-hot operands
+    are exact 0/1 f32 and the matmul runs at HIGHEST precision, so the
+    result is the EXACT gathered row (each output element is one
+    product 1.0 * v — the bf16x6 decomposition reconstructs v
+    bit-exactly).
+
+    Points projecting outside the window get an all-zero one-hot row,
+    hence a zero scene row, hence weight 0 — the only semantic
+    difference vs _associate, and a principled one: a correspondence
+    further than the window margin from the seed is precisely the kind
+    the distance cap is there to reject.
+    """
+    wh, ww, C = win_img.shape
+    mp = SE3.apply(pose, model_pc[:, :3])
+    mn = SE3.rotate(pose, model_pc[:, 3:6])
+    z = mp[:, 2]
+    zs = jnp.where(z > 1e-6, z, 1.0)
+    ui = jnp.round(fx * mp[:, 0] / zs + cx).astype(jnp.int32) - x0
+    vi = jnp.round(fy * mp[:, 1] / zs + cy).astype(jnp.int32) - y0
+    inb = (z > 1e-6) & (ui >= 0) & (ui < ww) & (vi >= 0) & (vi < wh)
+    oh_r = ((vi[:, None] == jnp.arange(wh)[None, :]) & inb[:, None]
+            ).astype(jnp.float32)  # [n, wh]
+    rows = jnp.matmul(
+        oh_r, win_img.reshape(wh, ww * C),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, ww, C)  # [n, ww, C]
+    oh_c = (ui[:, None] == jnp.arange(ww)[None, :]).astype(jnp.float32)
+    q = jnp.sum(rows * oh_c[:, :, None], axis=1)  # [n, C] exact gather
+    qp = q[:, :3]
+    qn = q[:, 3:6]
+    d2 = jnp.sum((mp - qp) ** 2, axis=-1)
+    ncos = jnp.sum(mn * qn, axis=-1)
+    w = (
+        mask & inb & (q[:, 6] > 0)
+        & (d2 <= max_corr_dist * max_corr_dist)
+        & (ncos >= min_normal_cos)
+    ).astype(jnp.float32)
+    return qp, qn, w
+
+
 def _gn_solve(pose, model_pc, qp, qn, w):
     """One point-to-plane Gauss-Newton solve on FIXED correspondences."""
     mp = SE3.apply(pose, model_pc[:, :3])
@@ -160,6 +220,7 @@ def _proj_step(
     max_corr_dist,
     min_normal_cos,
     solves: int = 1,
+    window=None,  # (win_img [wh, ww, C], y0, x0) -> MXU windowed gather
 ):
     """One projective point-to-plane iteration: associate once, then run
     ``solves`` Gauss-Newton updates on the fixed correspondence set.
@@ -171,10 +232,17 @@ def _proj_step(
     association gather is the stage's entire cost (see _associate).
     ``solves=2`` halves gather traffic per effective iteration; the
     residual/update returned are those of the LAST solve."""
-    qp, qn, w = _associate(
-        pose, model_pc, mask, scene7, fx, fy, cx, cy, H, W,
-        max_corr_dist, min_normal_cos,
-    )
+    if window is not None:
+        win_img, wy0, wx0 = window
+        qp, qn, w = _associate_window(
+            pose, model_pc, mask, win_img, wy0, wx0, fx, fy, cx, cy,
+            max_corr_dist, min_normal_cos,
+        )
+    else:
+        qp, qn, w = _associate(
+            pose, model_pc, mask, scene7, fx, fy, cx, cy, H, W,
+            max_corr_dist, min_normal_cos,
+        )
     new_pose, upd, residual = _gn_solve(pose, model_pc, qp, qn, w)
     for _ in range(solves - 1):
         new_pose, upd2, residual = _gn_solve(new_pose, model_pc, qp, qn, w)
@@ -190,11 +258,15 @@ def icp_levels(
     H: int,
     W: int,
     levels: Sequence[int],  # e.g. (5, 4, 3, 2) coarse->fine strides 2^l
-    iters_per_level: int,
+    iters_per_level,  # int, or a per-level sequence matching ``levels``
     tolerance: float = 1e-4,
     corr_dist_base: float = 0.015,
     min_normal_cos: float = 0.5,
     solves: int = 1,
+    window=None,  # (win_img [wh, ww, C], y0, x0): use the MXU windowed
+    #               association (_associate_window) instead of the
+    #               full-scene gather; scene7 is then only a signature
+    #               placeholder
 ):
     """Run the given pyramid levels; returns (residual, pose, n_inliers).
 
@@ -210,13 +282,19 @@ def icp_levels(
     associations, so 2 solves halves the gather traffic at an equal
     update budget when callers also halve iters_per_level, or deepens
     convergence at equal gather cost when they don't.
+    ``iters_per_level`` may also be a per-level sequence (one
+    association budget per entry of ``levels``) — the hook for
+    ICPParams.finest_assoc, which caps the full-model finest level at
+    a polish budget.
     """
     N = model_pc.shape[0]
     tolerance = jnp.float32(tolerance)
     pose = pose0
     residual = jnp.float32(jnp.inf)
     n_in = jnp.float32(0.0)
-    for level in levels:
+    if isinstance(iters_per_level, int):
+        iters_per_level = [iters_per_level] * len(levels)
+    for level, lvl_iters in zip(levels, iters_per_level):
         stride = 1 << level
         n_lvl = max(1, N // stride)
         sample = model_pc[::stride][:n_lvl]
@@ -229,13 +307,13 @@ def icp_levels(
             new_pose, upd, res, nin = _proj_step(
                 pose, sample, mask, scene7,
                 fx, fy, cx, cy, H, W, cap, jnp.float32(min_normal_cos),
-                solves=solves,
+                solves=solves, window=window,
             )
             return i + 1, new_pose, res, upd, nin
 
-        def cond(carry):
+        def cond(carry, _n=lvl_iters):
             i, _pose, _res, upd, _nin = carry
-            return (i < iters_per_level) & (upd >= tolerance)
+            return (i < _n) & (upd >= tolerance)
 
         _, pose, residual, _, n_in = jax.lax.while_loop(
             cond, body, (0, pose, residual, jnp.float32(1e9), n_in)

@@ -152,6 +152,96 @@ def test_solves_per_assoc_two_matches_one():
         assert np.all(np.abs(np.asarray(p2.pose)[:3, 3] - t_true) < 0.01)
 
 
+def test_associate_window_exact_gather():
+    """_associate_window (two one-hot MXU contractions over a scene
+    window crop) must return BIT-EXACT the same correspondences as the
+    full-scene row gather (_associate) for every in-window point, and
+    weight 0 for points projecting outside the window."""
+    import jax.numpy as jnp
+
+    from object_detector_6d_tpu.refine.projective import (
+        _associate, _associate_window)
+
+    rng = np.random.RandomState(3)
+    H, W, C = 64, 96, 7
+    fx = fy = 80.0
+    cx, cy = W / 2.0, H / 2.0
+    # random but valid packed scene: points ~1 m deep, unit-ish normals
+    scene_img = rng.uniform(-1, 1, (H, W, C)).astype(np.float32)
+    scene_img[..., 2] = rng.uniform(0.8, 1.2, (H, W))
+    scene_img[..., 6] = (rng.uniform(size=(H, W)) > 0.2)
+    scene7 = jnp.asarray(scene_img.reshape(-1, C))
+    # model points that project across the whole frame (some outside
+    # the window), at depths near the scene so the distance cap passes
+    n = 160
+    mdl = np.zeros((n, 6), np.float32)
+    u = rng.uniform(-4, W + 4, n)
+    v = rng.uniform(-4, H + 4, n)
+    z = rng.uniform(0.8, 1.2, n)
+    mdl[:, 0] = (u - cx) / fx * z
+    mdl[:, 1] = (v - cy) / fy * z
+    mdl[:, 2] = z
+    mdl[:, 3:] = rng.normal(size=(n, 3))
+    mdl[:, 3:] /= np.linalg.norm(mdl[:, 3:], axis=1, keepdims=True)
+    pose = jnp.eye(4, dtype=jnp.float32)
+    mask = jnp.ones(n, bool)
+    cap, ncos = jnp.float32(1e9), jnp.float32(-2.0)  # gates off
+
+    qp_f, qn_f, w_f = _associate(pose, jnp.asarray(mdl), mask, scene7,
+                                 fx, fy, cx, cy, H, W, cap, ncos)
+    win = 48
+    y0, x0 = 8, 24
+    win_img = jnp.asarray(scene_img[y0:y0 + win, x0:x0 + win])
+    qp_w, qn_w, w_w = _associate_window(
+        pose, jnp.asarray(mdl), mask, win_img,
+        jnp.int32(y0), jnp.int32(x0), fx, fy, cx, cy, cap, ncos)
+
+    ui = np.round(fx * mdl[:, 0] / mdl[:, 2] + cx).astype(int)
+    vi = np.round(fy * mdl[:, 1] / mdl[:, 2] + cy).astype(int)
+    in_win = ((ui >= x0) & (ui < x0 + win) & (vi >= y0) & (vi < y0 + win))
+    assert in_win.sum() >= 20 and (~in_win).sum() >= 20
+    np.testing.assert_array_equal(np.asarray(qp_w)[in_win],
+                                  np.asarray(qp_f)[in_win])
+    np.testing.assert_array_equal(np.asarray(qn_w)[in_win],
+                                  np.asarray(qn_f)[in_win])
+    np.testing.assert_array_equal(np.asarray(w_w)[in_win],
+                                  np.asarray(w_f)[in_win])
+    assert (np.asarray(w_w)[~in_win] == 0).all()
+
+
+def test_finest_assoc_polish_budget_matches_full():
+    """ICPParams.finest_assoc=2 (cap the full-model finest level at two
+    associations — it holds ~half the stage's gather rows) must land on
+    the same detections with sub-mm pose agreement vs the uncapped
+    schedule: the stride-2 level has already converged the pose, so the
+    finest level's correspondence field is static from its first
+    association (config.py docstring)."""
+    import dataclasses as dc
+
+    det, K, dep, gray, mask = _trained()
+    t_true = np.array([-0.03, 0.02, 0.035])
+    dep2, _, gray2 = scenes.render_translated(dep, mask, K, t_true)
+
+    outs = {}
+    for fa in (0, 2):
+        pd = PoseDetector(
+            detector=det.detector,
+            params=dc.replace(det.params,
+                              icp=dc.replace(det.params.icp,
+                                             finest_assoc=fa)),
+            model_points=det.model_points,
+        )
+        pd.views = det.views
+        outs[fa] = pd.detect_fused(dep2, K, rgb=_bgr(gray2))
+    assert outs[0] and outs[2]
+    assert len(outs[0]) == len(outs[2])
+    for p1, p2 in zip(outs[0], outs[2]):
+        assert p1.class_id == p2.class_id
+        dt = np.abs(np.asarray(p1.pose)[:3, 3] - np.asarray(p2.pose)[:3, 3])
+        assert dt.max() < 1e-3, dt
+        assert np.all(np.abs(np.asarray(p2.pose)[:3, 3] - t_true) < 0.01)
+
+
 def test_fine_compact_equals_full_when_survivors_fit():
     """Survivor compaction (DetectParams.fine_compact, config-4 regime):
     when the number of coarse-phase survivors fits the compacted lane

@@ -139,8 +139,11 @@ def main():
         log(f"  [{name}] {ms:8.2f} ms/batch-{B}")
         return ms
 
+    # auto-sized fine-phase window (same formula as pipeline.py)
+    iw_auto = min(256, max(96, -(-(int(np.max(bank.sizes[0])) + 64) // 8) * 8))
+
     def build(device_nms=True, num_seeds=3, fine_compact=0,
-              lift_impl="hist", icp=None):
+              lift_impl="hist", icp=None, icp_window=0):
         return dp_mod.make_detect_program(
             pd.detector.modality_names, pd.detector.t_at_level, (H, W),
             pd.detector.dn_params, pd.detector.cg_params, K,
@@ -148,7 +151,7 @@ def main():
             icp=icp or pd.params.icp, batch=B,
             flat_output=True, device_nms=device_nms,
             num_seeds=num_seeds, fine_compact=fine_compact,
-            lift_impl=lift_impl,
+            lift_impl=lift_impl, icp_window=icp_window,
         )
 
     def run_variant(name, **kw):
@@ -182,6 +185,21 @@ def main():
     deltas["solves2+c8+s2"] = full - run_variant(
         "solves2_all", fine_compact=8, num_seeds=2,
         icp=_I(iterations=32, num_levels=4, solves_per_assoc=2))
+    deltas["finest2"] = full - run_variant(
+        "finest2", icp=_I(iterations=32, num_levels=4, finest_assoc=2))
+    deltas["window(MXU assoc)"] = full - run_variant(
+        "window", icp_window=iw_auto)
+    deltas["win+solves2"] = full - run_variant(
+        "win_solves2", icp_window=iw_auto,
+        icp=_I(iterations=32, num_levels=4, solves_per_assoc=2))
+    deltas["promoted(s2,c8,sv2,f2)"] = full - run_variant(
+        "promoted", fine_compact=8, num_seeds=2,
+        icp=_I(iterations=32, num_levels=4, solves_per_assoc=2,
+               finest_assoc=2))
+    deltas["win+promoted"] = full - run_variant(
+        "win_promoted", fine_compact=8, num_seeds=2, icp_window=iw_auto,
+        icp=_I(iterations=32, num_levels=4, solves_per_assoc=2,
+               finest_assoc=2))
     log("\n  deltas vs full:")
     for k, v in deltas.items():
         log(f"    {k:24s} {v:+7.2f} ms/batch-{B}")
