@@ -144,13 +144,20 @@ def build_detector(jnp):
     from object_detector_6d_tpu.core.config import DetectParams, ICPParams
     from object_detector_6d_tpu.data.synthetic import synthetic_bank
 
-    # production-tuned config: 32 ICP iterations over 4 levels, 512-pt
-    # model clouds, 16 hypothesis slots x 3 depth seeds (two-object scenes produce
-    # 10-20 coarse candidates/frame). Parity verified
-    # (tools/parity_add.py, run on the TPU): 100% ADD-0.1d vs oracle.
+    # production-tuned config, round-5 PROMOTED schedule (the 2026-08-21
+    # ablation table in ARCHITECTURE.md): 32 ICP iterations over 4
+    # levels with 2 GN solves per association and a 2-association
+    # finest-level polish cap, 512-pt model clouds, 16 hypothesis slots
+    # x 2 depth seeds with fine-phase compaction to the 8 best coarse
+    # survivors (two-object scenes produce 10-20 coarse candidates per
+    # frame). Parity verified at THIS schedule (ODC_PROMOTED=1
+    # tools/parity_add.py, run on the TPU — PARITY.md table).
     pd = PoseDetector(
         params=DetectParams(match_threshold=80.0, max_hypotheses=16,
-                            icp=ICPParams(iterations=32, num_levels=4)),
+                            icp=ICPParams(iterations=32, num_levels=4,
+                                          solves_per_assoc=2,
+                                          finest_assoc=2),
+                            num_seeds=2, fine_compact=8),
         model_points=512,
     )
     synthetic_bank(n_classes=12, per_class=10, bbox_px=120, seed=0,
@@ -368,11 +375,14 @@ def bench_device_split(jax, jnp, pd, K, make_frames, B=16):
     match_ms = device_time("match", match_fn, margs)
 
     views = dp_mod.pack_views(bank, pd.views, pd.model_points)
+    # the SAME schedule the headline detector ships (build_detector):
+    # promoted ICP knobs + seed count + fine compaction
     prog = dp_mod.make_detect_program(
         pd.detector.modality_names, pd.detector.t_at_level, (480, 640),
         pd.detector.dn_params, pd.detector.cg_params, K,
         max_candidates=16, max_dr=max_dr, refine_impl=impl,
         icp=pd.params.icp, batch=B, flat_output=True,
+        num_seeds=pd.params.num_seeds, fine_compact=pd.params.fine_compact,
     )
 
     def detect_fn(sources, *rest):
@@ -404,6 +414,7 @@ def bench_hyp_scaling(jax, jnp, pd, K, make_frames, B=16):
     pd4 = PoseDetector(
         detector=pd.detector,
         params=dc.replace(pd.params, max_hypotheses=64, match_threshold=75.0,
+                          num_seeds=3,
                           fine_compact=16),
         model_points=pd.model_points,
     )
@@ -461,7 +472,7 @@ def bench_detect_scale(jax, jnp, pd, K, make_frames, B=16):
     from object_detector_6d_tpu.data.synthetic import synthetic_bank
 
     pdl = PoseDetector(
-        params=dc.replace(pd.params, max_hypotheses=64,
+        params=dc.replace(pd.params, max_hypotheses=64, num_seeds=3,
                           match_threshold=75.0, fine_compact=16),
         model_points=pd.model_points,
     )

@@ -282,7 +282,8 @@ class PoseDetector:
             iw = min(256, max(96, -(-(mb + 64) // 8) * 8))
             iw = min(iw, H, W)
         icp_key = (p.icp.iterations, p.icp.num_levels,
-                   p.icp.solves_per_assoc, p.icp.finest_assoc, iw)
+                   p.icp.solves_per_assoc, p.icp.finest_assoc, iw,
+                   p.num_seeds)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, mesh is not None,
                 fc, self.lift_impl, icp_key)
         prog = cache.get(pkey)
@@ -308,6 +309,7 @@ class PoseDetector:
                 fine_compact=fc,
                 lift_impl=self.lift_impl,
                 icp_window=iw,
+                num_seeds=p.num_seeds,
             )
             cache[pkey] = prog
         sources_b = []
@@ -415,7 +417,8 @@ class PoseDetector:
             iw = min(256, max(96, -(-(mb + 64) // 8) * 8))
             iw = min(iw, H, W)
         icp_key = (p.icp.iterations, p.icp.num_levels,
-                   p.icp.solves_per_assoc, p.icp.finest_assoc, iw)
+                   p.icp.solves_per_assoc, p.icp.finest_assoc, iw,
+                   p.num_seeds)
         pkey = ("detect_prog", (H, W), kb, K_cap, max_dr, B, False,
                 p.fine_compact, self.lift_impl, icp_key)
         prog = cache.get(pkey)
@@ -430,7 +433,7 @@ class PoseDetector:
                 max_dr=max_dr, refine_impl=refine_impl, icp=p.icp,
                 lift_window=self.scene_window, batch=B, device_nms=True,
                 fine_compact=p.fine_compact, lift_impl=self.lift_impl,
-                icp_window=iw,
+                icp_window=iw, num_seeds=p.num_seeds,
             )
             cache[pkey] = prog
         mkey = ("detect_prog_multi", pkey, G)

@@ -119,6 +119,14 @@ class DetectParams:
     # max_candidates (PARITY.md deviation 2). 0 = off (every lane runs
     # fine).
     fine_compact: int = 0
+    # Depth seeds per match candidate: the hypothesis lift takes the
+    # first ``num_seeds`` of the (q25, q50, q75) window-depth quantiles
+    # as translation seeds; the coarse ICP phase runs K*num_seeds lanes
+    # and each candidate keeps its best seed by residual. 2 drops the
+    # q75 seed (ablation: 2.4 ms/batch-16 at the headline shape) — keep
+    # 3 for heavy-occlusion workloads, where the object surface sits in
+    # the window's UPPER depth quantiles behind a foreground occluder.
+    num_seeds: int = 3
     # Windowed MXU association for the fine ICP phase (refine/projective
     # _associate_window): per surviving candidate, one static crop of
     # the packed scene around the match center replaces the latency-

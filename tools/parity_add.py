@@ -408,17 +408,26 @@ def _our_detector(**kw):
     from object_detector_6d_tpu.api.pipeline import PoseDetector
     from object_detector_6d_tpu.core.config import DetectParams, ICPParams
 
-    # ODC_PROMOTED=1: the promoted economy schedule (solves_per_assoc=2,
-    # finest_assoc=2 — the knobs the round-5 ablation table promotes
-    # into the headline config). The parity table must be re-run and
-    # re-dated at whatever schedule ships (VERDICT r04 missing 3).
+    # ODC_PROMOTED=1: the FULL promoted economy schedule from the
+    # round-5 ablation (solves_per_assoc=2, finest_assoc=2, num_seeds=2,
+    # fine_compact=8 — the last is a no-op here since max_hypotheses=8
+    # already bounds the fine lanes, but it keeps the flag set
+    # identical to the headline bench config). The parity table must be
+    # re-run and re-dated at whatever schedule ships (VERDICT r04
+    # missing 3).
     promoted = os.environ.get("ODC_PROMOTED", "") not in ("", "0")
-    icp = (ICPParams(iterations=32, num_levels=4, solves_per_assoc=2,
-                     finest_assoc=2)
-           if promoted else ICPParams(iterations=32, num_levels=4))
+    if promoted:
+        params = DetectParams(
+            match_threshold=MATCH_THRESHOLD, max_hypotheses=8,
+            icp=ICPParams(iterations=32, num_levels=4, solves_per_assoc=2,
+                          finest_assoc=2),
+            num_seeds=2, fine_compact=8)
+    else:
+        params = DetectParams(match_threshold=MATCH_THRESHOLD,
+                              max_hypotheses=8,
+                              icp=ICPParams(iterations=32, num_levels=4))
     return PoseDetector(
-        params=DetectParams(match_threshold=MATCH_THRESHOLD, max_hypotheses=8,
-                            icp=icp),
+        params=params,
         model_points=MODEL_POINTS,
         scene_window=LIFT_WINDOW,
         **kw,
